@@ -1,0 +1,24 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh; sharding logic is validated
+# without TPU hardware. XLA_FLAGS must be set before the CPU backend
+# initializes; the platform override must go through jax.config because the
+# environment may pre-register an accelerator plugin.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
