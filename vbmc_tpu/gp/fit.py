@@ -1,0 +1,339 @@
+"""GP hyperparameter training: space-filling init, MAP optimization, and
+parallel-chain slice sampling of the hyperparameter posterior.
+
+Pipeline parity with `misc/gptrain_vbmc.m` + `gplite/gplite_train.m`, but
+TPU-shaped: the init design is one vmapped batch of marginal-likelihood
+evaluations; MAP runs as a vmapped bounded L-BFGS over multiple starts; the
+hyperparameter ensemble comes from several short parallel slice-sampling
+chains (a vmap axis — shardable over devices) instead of one long thinned
+chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vbmc_tpu.gp.config import GPConfig, MEAN_NEGQUAD, MEAN_CONST, MEAN_SE
+from vbmc_tpu.gp import core
+from vbmc_tpu.gp.gp import GP, HypPrior, build_gp
+from vbmc_tpu.gp.means import mean_info
+from vbmc_tpu.gp.noise import noise_info
+from vbmc_tpu.gp.kernels import kernel_cross  # noqa: F401  (re-export)
+from vbmc_tpu.samplers.slice import slice_sample_chain
+from vbmc_tpu.optim import minimize_lbfgs_bounded
+from vbmc_tpu.utils.math import bucket_n, bucket_ns, pad_to
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    ns_samples: int = 0          # GP hyperparameter samples (0 => MAP only)
+    ninit: int = 1024            # space-filling design size (0 => skip)
+    nopts: int = 2               # number of MAP optimization restarts
+    thin: int = 5
+    burnin: Optional[int] = None  # default: thin * ns_samples
+    n_chains: int = 4
+    widths: Optional[np.ndarray] = None   # sampler widths (from hyp cov)
+    lbfgs_iters: int = 80
+    # Hyperprior knobs (cf. gptrain_vbmc / options):
+    hpd_frac: float = 0.8
+    tol_gp_noise: float = np.sqrt(1e-5)
+    noise_size: Optional[float] = None
+    length_prior_mean_mult: Optional[float] = None  # default sqrt(D/6)
+    length_prior_std: float = 0.5 * np.log(1e3)
+    quadratic_mean_bound: bool = True
+    tol_sd: float = 0.1
+    uncertainty_level: int = 0   # 0 exact; 1 infer noise; 2 provided noise
+    upper_length_factor: float = 0.0
+
+
+def get_hpd(X: np.ndarray, y: np.ndarray, frac: float = 0.8):
+    """Top-`frac` of points by log-density (cf. `misc/gethpd_vbmc.m`)."""
+    n_hpd = max(int(np.ceil(frac * X.shape[0])), 1)
+    order = np.argsort(y)[::-1]
+    sel = order[:n_hpd]
+    return X[sel], y[sel]
+
+
+def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
+                       plb_tr: np.ndarray, pub_tr: np.ndarray,
+                       opts: TrainOptions) -> HypPrior:
+    """Bounds/priors/starting box for all hyperparameters (host-side).
+
+    Mirrors `gptrain_vbmc.m:109-311` (vbmc_gphyp): stats are computed on the
+    HPD subset; the length-scale prior comes from the plausible box.
+    """
+    D = cfg.D
+    X_hpd, y_hpd = get_hpd(X, y, opts.hpd_frac)
+    width = np.maximum(X_hpd.max(axis=0) - X_hpd.min(axis=0), 1e-10)
+    yh = y_hpd if y_hpd.size > 1 else np.array([0.0, 1.0])
+    height = max(yh.max() - yh.min(), 1e-10)
+    ToL, Big = 1e-6, np.exp(3.0)
+
+    nh = cfg.nhyp
+    lb = np.full(nh, -np.inf)
+    ub = np.full(nh, np.inf)
+    plb = np.full(nh, -np.inf)
+    pub = np.full(nh, np.inf)
+    x0 = np.full(nh, np.nan)
+    mu = np.full(nh, np.nan)
+    sigma = np.full(nh, np.nan)
+    df = np.full(nh, 3.0)
+
+    # --- covariance: log ell, log sf (cf. gplite_covfun info) ---
+    lb[:D] = np.log(width) + np.log(ToL)
+    ub[:D] = np.log(width * 10)
+    plb[:D] = np.log(width) + 0.5 * np.log(ToL)
+    pub[:D] = np.log(width)
+    x0[:D] = np.log(np.maximum(X_hpd.std(axis=0, ddof=1), 1e-10))
+    i_sf = cfg.idx_log_sf
+    lb[i_sf] = np.log(height) + np.log(ToL)
+    ub[i_sf] = np.log(height * 10)
+    plb[i_sf] = np.log(height) + 0.5 * np.log(ToL)
+    pub[i_sf] = np.log(height)
+    x0[i_sf] = np.log(max(np.std(yh, ddof=1), 1e-10))
+
+    if opts.upper_length_factor > 0:
+        ub[:D] = np.log(opts.upper_length_factor * (pub_tr - plb_tr))
+
+    # Fixed length-scale prior from the plausible box (gptrain:288-289).
+    mult = opts.length_prior_mean_mult
+    if mult is None:
+        mult = np.sqrt(D / 6.0)
+    mu[:D] = np.log(mult * (pub_tr - plb_tr))
+    sigma[:D] = opts.length_prior_std
+
+    # --- noise (gptrain:143-165, 180) ---
+    ninfo = noise_info(cfg, yh)
+    sl = cfg.sl_noise
+    lb[sl], ub[sl] = ninfo["lb"], ninfo["ub"]
+    plb[sl], pub[sl] = ninfo["plb"], ninfo["pub"]
+    x0[sl] = ninfo["x0"]
+    min_noise = opts.tol_gp_noise
+    i_n = cfg.ncov
+    if cfg.const_noise == 1:
+        if opts.uncertainty_level == 0:
+            noisesize = max(opts.noise_size or 0.0, min_noise)
+            noisestd = 0.5
+        elif opts.uncertainty_level == 1:
+            noisesize = min_noise
+            noisestd = np.log(10.0)
+        else:
+            noisesize = min_noise
+            noisestd = 0.5
+        x0[i_n] = np.log(noisesize)
+        mu[i_n] = np.log(noisesize)
+        sigma[i_n] = noisestd
+        lb[i_n] = np.log(min_noise)
+        i_n += 1
+    if cfg.user_noise == 2:
+        noisemult = max(opts.noise_size or 0.0, min_noise) \
+            if opts.noise_size else 1.0
+        noisemultstd = np.log(10.0) / 2 if opts.noise_size else np.log(10.0)
+        x0[i_n] = np.log(noisemult)
+        mu[i_n] = np.log(noisemult)
+        sigma[i_n] = noisemultstd
+        i_n += 1
+
+    # --- mean (gptrain:182-203) ---
+    minfo = mean_info(cfg, X_hpd, yh)
+    sl = cfg.sl_mean
+    lb[sl], ub[sl] = minfo["lb"], minfo["ub"]
+    plb[sl], pub[sl] = minfo["plb"], minfo["pub"]
+    x0[sl] = minfo["x0"]
+    i_m = cfg.ncov + cfg.nnoise
+    if cfg.meanfun == MEAN_NEGQUAD and opts.quadratic_mean_bound:
+        deltay = max(opts.tol_sd, min(D, yh.max() - yh.min()))
+        ub[i_m] = yh.max() + deltay
+    elif cfg.meanfun == MEAN_CONST:
+        ub[i_m] = yh.min()
+    elif cfg.meanfun == MEAN_SE:
+        x0[i_m] = y.min()
+        ub[i_m] = yh.min()
+
+    nanmask = np.isnan(x0)
+    x0[nanmask] = 0.5 * (plb[nanmask] + pub[nanmask])
+
+    dt = jnp.zeros(0).dtype
+    arr = lambda v: jnp.asarray(v, dtype=dt)
+    return HypPrior(mu=arr(mu), sigma=arr(sigma), df=arr(df),
+                    lb=arr(lb), ub=arr(ub), plb=arr(plb), pub=arr(pub)), x0
+
+
+# ----------------------------------------------------------------------
+# Jitted pipeline stages (cached per (cfg, shape) key)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _eval_design(cfg: GPConfig, hyps, prior, X, y, s2, mask):
+    def obj(h):
+        return (core.neg_log_marginal_likelihood(cfg, h, X, y, s2, mask)
+                - core.hyperprior_logpdf(prior, h))
+    return jax.vmap(obj)(hyps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "maxiter"))
+def _map_optimize(cfg: GPConfig, x0s, prior, X, y, s2, mask, maxiter: int):
+    def obj(h):
+        nll = (core.neg_log_marginal_likelihood(cfg, h, X, y, s2, mask)
+               - core.hyperprior_logpdf(prior, h))
+        return jnp.where(jnp.isfinite(nll), nll, 1e12)
+
+    def run(x0):
+        return minimize_lbfgs_bounded(obj, x0, prior.lb, prior.ub,
+                                      maxiter=maxiter)
+
+    return jax.vmap(run)(x0s)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_keep_max"))
+def _sample_chains(cfg: GPConfig, key, x0s, widths, prior, X, y, s2, mask,
+                   n_keep, burn, thin, n_keep_max: int):
+    def logpdf(h):
+        lp = core.gp_log_posterior(cfg, prior, h, X, y, s2, mask)
+        in_bounds = jnp.all((h >= prior.lb) & (h <= prior.ub))
+        lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+        return jnp.where(in_bounds, lp, -jnp.inf)
+
+    C = x0s.shape[0]
+    keys = jax.random.split(key, C)
+
+    def run(k, x0):
+        return slice_sample_chain(k, logpdf, x0, widths, prior.lb, prior.ub,
+                                  n_keep, burn, thin, n_keep_max)
+
+    return jax.vmap(run)(keys, x0s)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _build_gp_jit(cfg, X, y, s2, mask, hyps, hyp_mask):
+    return build_gp(cfg, X, y, s2, mask, hyps, hyp_mask)
+
+
+# ----------------------------------------------------------------------
+# Top-level training entry point (host-side orchestration)
+# ----------------------------------------------------------------------
+
+def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
+             s2: Optional[np.ndarray], plb_tr, pub_tr, opts: TrainOptions,
+             hyp0: Optional[np.ndarray] = None):
+    """Fit the GP surrogate; returns (GP, info dict).
+
+    X, y, s2: host arrays of the *real* (unpadded) training set.
+    hyp0: optional (n0, Nhyp) warm-start hyperparameter vectors.
+    """
+    dtype = jnp.zeros(0).dtype
+    n = X.shape[0]
+    nb = bucket_n(n)
+    Xp = jnp.asarray(pad_to(np.asarray(X, float), nb), dtype=dtype)
+    yp = jnp.asarray(pad_to(np.asarray(y, float).ravel(), nb), dtype=dtype)
+    s2p = (jnp.zeros(nb, dtype=dtype) if s2 is None
+           else jnp.asarray(pad_to(np.asarray(s2, float).ravel(), nb),
+                            dtype=dtype))
+    mask = jnp.asarray(np.arange(nb) < n)
+
+    prior, x0_default = assemble_hyp_prior(cfg, np.asarray(X), np.asarray(y),
+                                           np.asarray(plb_tr),
+                                           np.asarray(pub_tr), opts)
+    nh = cfg.nhyp
+
+    # --- starting points -------------------------------------------------
+    starts = [np.asarray(x0_default)[None, :]]
+    if hyp0 is not None and hyp0.size and hyp0.shape[-1] == nh:
+        starts.append(np.asarray(hyp0, float).reshape(-1, nh))
+    starts = np.unique(np.concatenate(starts, axis=0), axis=0)
+    lb_np = np.asarray(prior.lb)
+    ub_np = np.asarray(prior.ub)
+    plb_np = np.where(np.isfinite(np.asarray(prior.plb)), np.asarray(prior.plb),
+                      lb_np)
+    pub_np = np.where(np.isfinite(np.asarray(prior.pub)), np.asarray(prior.pub),
+                      ub_np)
+    starts = np.clip(starts, lb_np + 1e-12, ub_np - 1e-12)
+
+    key, k_design, k_sample, k_jitter = jax.random.split(key, 4)
+
+    widths_default = np.maximum(pub_np - plb_np, 1e-3)
+    if opts.ninit > 0:
+        n_design = int(opts.ninit)
+        u = np.asarray(jax.random.uniform(k_design, (n_design, nh)))
+        design = plb_np + u * (pub_np - plb_np)
+        design = np.concatenate([starts, design], axis=0)
+        nll = np.asarray(_eval_design(cfg, jnp.asarray(design, dtype=dtype),
+                                      prior, Xp, yp, s2p, mask))
+        nll = np.where(np.isfinite(nll), nll, np.inf)
+        order = np.argsort(nll)
+        x0s = design[order[:max(opts.nopts, 1)]]
+        top = design[order[:max(3 * opts.nopts, 10)]]
+        widths_default = np.maximum(top.std(axis=0, ddof=1), 1e-3)
+    else:
+        nll = np.asarray(_eval_design(cfg, jnp.asarray(starts, dtype=dtype),
+                                      prior, Xp, yp, s2p, mask))
+        order = np.argsort(np.where(np.isfinite(nll), nll, np.inf))
+        x0s = starts[order[:max(opts.nopts, 1)]]
+
+    # --- MAP optimization ------------------------------------------------
+    if opts.nopts > 0:
+        reps = int(np.ceil(opts.nopts / x0s.shape[0]))
+        x0s_j = jnp.asarray(np.tile(x0s, (reps, 1))[:opts.nopts], dtype=dtype)
+        hyp_opt, f_opt = _map_optimize(cfg, x0s_j, prior, Xp, yp, s2p, mask,
+                                       opts.lbfgs_iters)
+        f_opt = np.asarray(f_opt)
+        best = int(np.nanargmin(np.where(np.isfinite(f_opt), f_opt, np.inf)))
+        hyp_map = np.asarray(hyp_opt)[best]
+    else:
+        hyp_map = x0s[0]
+    hyp_map = np.clip(hyp_map, lb_np + 1e-12, ub_np - 1e-12)
+
+    # --- posterior sampling ----------------------------------------------
+    ns = int(opts.ns_samples)
+    if ns > 0:
+        sb = bucket_ns(ns)
+        C = min(opts.n_chains, sb)
+        while sb % C != 0:
+            C -= 1
+        per_chain = ns // C + (1 if ns % C else 0)
+        keep_max = sb // C
+        per_chain = min(per_chain, keep_max)
+
+        if opts.widths is not None and opts.widths.size == nh:
+            widths = np.minimum(np.asarray(opts.widths, float), widths_default)
+        else:
+            widths = widths_default
+        burn = opts.burnin if opts.burnin is not None else opts.thin * ns
+        # Jitter chain starts around the MAP point.
+        jit_scale = 0.1 * widths
+        eps = np.asarray(jax.random.normal(k_jitter, (C, nh)))
+        x0s_chain = np.clip(hyp_map[None, :] + eps * jit_scale[None, :],
+                            lb_np + 1e-10, ub_np - 1e-10)
+        x0s_chain[0] = hyp_map
+
+        samples, logps = _sample_chains(
+            cfg, k_sample, jnp.asarray(x0s_chain, dtype=dtype),
+            jnp.asarray(widths, dtype=dtype), prior, Xp, yp, s2p, mask,
+            jnp.asarray(per_chain), jnp.asarray(max(burn // C, opts.thin)),
+            jnp.asarray(opts.thin), keep_max)
+        samples = np.asarray(samples)          # (C, keep_max, nh)
+        # Interleave chains: sample i of chain c -> position i*C + c.
+        flat = samples.transpose(1, 0, 2).reshape(-1, nh)
+        hyp_samples = flat[:ns]
+        # Pad the sample buffer to the bucket, replicating the MAP point.
+        buf = np.tile(hyp_map[None, :], (sb, 1))
+        buf[:ns] = hyp_samples
+        hyp_mask = np.arange(sb) < ns
+        hyp_full = flat  # pre-thin record for hyperparameter covariance
+    else:
+        sb = 1
+        buf = hyp_map[None, :]
+        hyp_mask = np.array([True])
+        hyp_full = hyp_map[None, :]
+
+    gp = _build_gp_jit(cfg, Xp, yp, s2p, mask,
+                       jnp.asarray(buf, dtype=dtype), jnp.asarray(hyp_mask))
+    info = dict(hyp_map=hyp_map, hyp_full=hyp_full, prior=prior,
+                ns_samples=ns, widths_default=widths_default)
+    return gp, info

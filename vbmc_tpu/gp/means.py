@@ -1,0 +1,115 @@
+"""GP mean functions and their hyperparameter info.
+
+Supports the subset the Bayesian-quadrature ELBO admits (cf.
+`misc/gplogjoint.m:47-50`): zero, constant, negative quadratic (the VBMC
+default), and squared-exponential. Formulas follow
+`gplite/gplite_meanfun.m:399-455`; hyperparameter bounds/starting points
+follow the `info` branch (`gplite_meanfun.m:136-290`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from vbmc_tpu.gp.config import (
+    GPConfig, MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD, MEAN_SE,
+)
+
+
+def mean_function(cfg: GPConfig, hyp_mean: jnp.ndarray, X: jnp.ndarray):
+    """Evaluate the mean function at rows of X. hyp_mean: (Nmean,)."""
+    D = cfg.D
+    if cfg.meanfun == MEAN_ZERO:
+        return jnp.zeros(X.shape[0], dtype=X.dtype)
+    if cfg.meanfun == MEAN_CONST:
+        return jnp.full(X.shape[0], hyp_mean[0], dtype=X.dtype)
+    if cfg.meanfun == MEAN_NEGQUAD:
+        m0 = hyp_mean[0]
+        xm = hyp_mean[1:D + 1]
+        omega = jnp.exp(hyp_mean[D + 1:2 * D + 1])
+        z2 = ((X - xm) / omega) ** 2
+        return m0 - 0.5 * jnp.sum(z2, axis=-1)
+    if cfg.meanfun == MEAN_SE:
+        m0 = hyp_mean[0]
+        xm = hyp_mean[1:D + 1]
+        omega = jnp.exp(hyp_mean[D + 1:2 * D + 1])
+        h = jnp.exp(hyp_mean[2 * D + 1])
+        z2 = ((X - xm) / omega) ** 2
+        return m0 + h * jnp.exp(-0.5 * jnp.sum(z2, axis=-1))
+    raise ValueError(f"unsupported meanfun {cfg.meanfun}")
+
+
+def mean_info(cfg: GPConfig, X: np.ndarray, y: np.ndarray):
+    """Bounds / plausible box / starting point for mean hyperparameters.
+
+    Host-side (numpy) — computed once per GP fit from (typically) the HPD
+    subset of training data. Returns dict of (Nmean,) arrays.
+    """
+    D = cfg.D
+    nm = cfg.nmean
+    ToL, Big = 1e-6, np.exp(3.0)
+    lb = np.full(nm, -np.inf)
+    ub = np.full(nm, np.inf)
+    plb = np.full(nm, -np.inf)
+    pub = np.full(nm, np.inf)
+    x0 = np.full(nm, np.nan)
+
+    if nm == 0:
+        return dict(lb=lb, ub=ub, plb=plb, pub=pub, x0=x0)
+
+    if y.size <= 1:
+        y = np.array([0.0, 1.0])
+    w = np.maximum(X.max(axis=0) - X.min(axis=0), 1e-10)
+    h = max(y.max() - y.min(), 1e-10)
+
+    # m0
+    lb[0] = y.min() - 0.5 * h
+    ub[0] = y.max() + 0.5 * h
+    plb[0] = np.quantile(y, 0.1)
+    pub[0] = np.quantile(y, 0.9)
+    x0[0] = np.median(y)
+
+    if cfg.meanfun == MEAN_NEGQUAD:
+        lb[0] = y.min()
+        ub[0] = y.max() + h
+        plb[0] = np.median(y)
+        pub[0] = y.max()
+        x0[0] = np.quantile(y, 0.9)
+        # xm
+        lb[1:D + 1] = X.min(axis=0) - 0.5 * w
+        ub[1:D + 1] = X.max(axis=0) + 0.5 * w
+        plb[1:D + 1] = X.min(axis=0)
+        pub[1:D + 1] = X.max(axis=0)
+        x0[1:D + 1] = np.median(X, axis=0)
+        # log omega
+        lb[D + 1:2 * D + 1] = np.log(w) + np.log(ToL)
+        ub[D + 1:2 * D + 1] = np.log(w) + np.log(Big)
+        plb[D + 1:2 * D + 1] = np.log(w) + 0.5 * np.log(ToL)
+        pub[D + 1:2 * D + 1] = np.log(w)
+        x0[D + 1:2 * D + 1] = np.log(np.maximum(X.std(axis=0, ddof=1), 1e-10))
+    elif cfg.meanfun == MEAN_SE:
+        lb[0] = y.min() - h
+        ub[0] = y.max()
+        plb[0] = y.min()
+        pub[0] = np.median(y)
+        x0[0] = np.quantile(y, 0.1)
+        lb[1:D + 1] = X.min(axis=0) - 0.5 * w
+        ub[1:D + 1] = X.max(axis=0) + 0.5 * w
+        plb[1:D + 1] = X.min(axis=0)
+        pub[1:D + 1] = X.max(axis=0)
+        x0[1:D + 1] = np.median(X, axis=0)
+        lb[D + 1:2 * D + 1] = np.log(w) + np.log(ToL)
+        ub[D + 1:2 * D + 1] = np.log(w) + np.log(Big)
+        plb[D + 1:2 * D + 1] = np.log(w) + 0.5 * np.log(ToL)
+        pub[D + 1:2 * D + 1] = np.log(w)
+        x0[D + 1:2 * D + 1] = np.log(np.maximum(X.std(axis=0, ddof=1), 1e-10))
+        lb[2 * D + 1] = np.log(h) + np.log(ToL)
+        ub[2 * D + 1] = np.log(h) + np.log(Big)
+        plb[2 * D + 1] = np.log(h) + 0.5 * np.log(ToL)
+        pub[2 * D + 1] = np.log(h)
+        x0[2 * D + 1] = np.log(max(np.std(y, ddof=1), 1e-10))
+
+    nan = np.isnan(x0)
+    x0[nan] = 0.5 * (plb[nan] + pub[nan])
+    return dict(lb=lb, ub=ub, plb=plb, pub=pub, x0=x0)
