@@ -1,0 +1,310 @@
+"""Typed configuration for VBMC-TPU.
+
+Replaces the reference's string-eval'd option system
+(`vbmc.m:158-366` basic+advanced defaults, `misc/setupoptions_vbmc.m`):
+defaults that depend on the problem dimension D (or on K/N at call time) are
+expressed as explicit callables; `VBMCOptions.resolve(D)` produces a frozen
+set of concrete values, with the warmup and noisy-target overlays applied the
+same way the reference does (`setupoptions_vbmc.m:144-163`,
+`vbmc.m:431-445`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Sequence, Union
+
+
+def _ceil(x):
+    return int(math.ceil(x))
+
+
+@dataclasses.dataclass
+class VBMCOptions:
+    """User-settable options. ``None`` means "use the default expression"."""
+
+    # --- basic (vbmc.m:158-166) ---
+    display: str = "iter"
+    max_iter: Optional[int] = None               # 50*(2+D)
+    max_fun_evals: Optional[int] = None          # 50*(2+D)
+    fun_evals_per_iter: int = 5
+    tol_stable_count: Optional[int] = None       # 60
+    retry_max_fun_evals: int = 0
+    min_final_components: int = 50
+    specify_target_noise: bool = False
+
+    # --- advanced ---
+    uncertainty_handling: Optional[bool] = None
+    integer_vars: Sequence[int] = ()
+    noise_size: Optional[float] = None
+    max_repeated_observations: int = 0
+    repeated_acq_discount: float = 1.0
+    fun_eval_start: Optional[int] = None         # 10*ceil((D+1)/10)
+    sgd_step_size: float = 0.005
+    skip_active_sampling_after_warmup: bool = False
+    rank_criterion: bool = True
+    tol_stable_entropy_iters: int = 6
+    variable_means: bool = True
+    variable_weights: bool = True
+    weight_penalty: float = 0.1
+    tol_stable_excpt_frac: float = 0.2
+    fvals: Optional[Sequence[float]] = None
+    proposal_fcn: Optional[Callable] = None
+    search_acq_fcn: Optional[Sequence[str]] = None   # default ['prospective']
+    ns_search: int = 2 ** 13
+    ns_ent: Optional[Callable] = None            # K -> 100*K^(2/3)
+    ns_ent_fast: Optional[Callable] = None       # 0
+    ns_ent_fine: Optional[Callable] = None       # K -> 2^12*K
+    ns_ent_boost: Optional[Callable] = None      # K -> 200*K^(2/3)
+    ns_ent_fast_boost: Optional[Callable] = None
+    ns_ent_fine_boost: Optional[Callable] = None
+    ns_ent_active: Optional[Callable] = None     # K -> 20*K^(2/3)
+    ns_ent_fast_active: Optional[Callable] = None
+    ns_ent_fine_active: Optional[Callable] = None  # K -> 200*K
+    ns_elbo: Optional[Callable] = None           # K -> 50*K
+    ns_elbo_incr: float = 0.1
+    elbo_starts: int = 2
+    ns_gp_max: int = 80
+    ns_gp_max_warmup: int = 8
+    ns_gp_max_main: float = float("inf")
+    warmup_no_impro_threshold: Optional[int] = None  # 20 + 5*D
+    warmup_check_max: bool = True
+    stable_gp_sampling: Optional[int] = None     # 200 + 10*D
+    stable_gp_vp_k: float = float("inf")
+    stable_gp_samples: int = 0
+    gp_sample_thin: int = 5
+    gp_train_n_init: int = 1024
+    gp_train_n_init_final: int = 64
+    gp_train_init_method: str = "rand"
+    gp_tol_opt: float = 1e-5
+    gp_tol_opt_mcmc: float = 1e-2
+    gp_tol_opt_active: float = 1e-4
+    gp_tol_opt_mcmc_active: float = 1e-2
+    tol_gp_var: float = 1e-4
+    tol_gp_var_mcmc: float = 1e-4
+    gp_mean_fun: str = "negquad"
+    gp_int_mean_fun: int = 0
+    k_fun_max: Optional[Callable] = None         # N -> N^(2/3)
+    k_warmup: int = 2
+    adaptive_k: int = 2
+    hpd_frac: float = 0.8
+    elcbo_impro_weight: float = 3.0
+    tol_length: float = 1e-6
+    cache_size: int = 500
+    cache_frac: float = 0.5
+    stochastic_optimizer: str = "adam"
+    tol_fun_stochastic: float = 1e-3
+    max_iter_stochastic: Optional[int] = None    # 100*(2+D)
+    tol_sd: float = 0.1
+    tol_skl: Optional[float] = None              # 0.01*sqrt(D)
+    tol_stable_warmup: int = 15
+    variational_sampler: str = "malasample"
+    tol_improvement: float = 0.01
+    kl_gauss: bool = True
+    true_mean: Optional[Sequence[float]] = None
+    true_cov: Optional[Sequence[Sequence[float]]] = None
+    min_fun_evals: Optional[int] = None          # 5*D
+    min_iter: Optional[int] = None               # D
+    heavy_tail_search_frac: float = 0.25
+    mvn_search_frac: float = 0.25
+    hpd_search_frac: float = 0.0
+    box_search_frac: float = 0.25
+    search_cache_frac: float = 0.0
+    always_refit_var_post: bool = False
+    warmup: bool = True
+    stop_warmup_thresh: float = 0.2
+    warmup_keep_threshold: Optional[float] = None      # 10*D
+    warmup_keep_threshold_false_alarm: Optional[float] = None  # 100*(D+2)
+    stop_warmup_reliability: float = 100.0
+    search_optimizer: str = "cmaes"
+    search_cmaes_vp_init: bool = True
+    search_cmaes_best: bool = False
+    search_max_fun_evals: Optional[int] = None   # 500*(D+2)
+    moments_run_weight: float = 0.9
+    gp_retrain_threshold: float = 1.0
+    elcbo_midpoint: bool = True
+    gp_sample_widths: float = 5.0
+    hyp_run_weight: float = 0.9
+    weighted_hyp_cov: bool = True
+    tol_cov_weight: float = 0.0
+    gp_hyp_sampler: str = "slicesample"
+    cov_sample_thresh: float = 10.0
+    det_ent_tol_opt: float = 1e-3
+    entropy_switch: bool = False
+    entropy_force_switch: float = 0.8
+    det_entropy_min_d: int = 5
+    tol_con_loss: float = 0.01
+    best_safe_sd: float = 5.0
+    best_frac_back: float = 0.25
+    tol_weight: float = 1e-2
+    pruning_threshold_multiplier: Optional[Callable] = None  # K -> 1/sqrt(K)
+    annealed_gp_mean: Optional[Callable] = None
+    constrained_gp_mean: bool = False
+    tol_gp_noise: float = math.sqrt(1e-5)
+    gp_length_prior_mean: Optional[Callable] = None  # D -> sqrt(D/6)
+    gp_length_prior_std: float = 0.5 * math.log(1e3)
+    upper_gp_length_factor: float = 0.0
+    init_design: str = "plausible"
+    gp_quadratic_mean_bound: bool = True
+    bandwidth: float = 0.0
+    fitness_shaping: bool = False
+    out_warp_thresh_base: Optional[float] = None  # 10*D
+    out_warp_thresh_mult: float = 1.25
+    out_warp_thresh_tol: float = 0.8
+    temperature: int = 1
+    separate_search_gp: bool = False
+    noise_shaping: bool = False
+    noise_shaping_threshold: Optional[float] = None  # 10*D
+    noise_shaping_factor: float = 0.05
+    acq_hedge: bool = False
+    acq_hedge_iter_window: int = 4
+    acq_hedge_decay: float = 0.9
+    active_variational_samples: int = 0
+    scale_lower_bound: bool = True
+    active_sample_vp_update: Optional[bool] = None
+    active_sample_gp_update: Optional[bool] = None
+    active_sample_full_update_past_warmup: int = 2
+    active_sample_full_update_threshold: float = 3.0
+    variational_init_repo: bool = False
+    sample_extra_vp_means: int = 0
+    optimistic_variational_bound: float = 0.0
+    active_importance_sampling_vp_samples: int = 100
+    active_importance_sampling_box_samples: int = 100
+    active_importance_sampling_mcmc_samples: int = 100
+    active_importance_sampling_mcmc_thin: int = 1
+    active_sample_fess_thresh: float = 1.0
+    active_importance_sampling_fess_thresh: float = 0.9
+    active_search_bound: float = 2.0
+    tol_bound_x: float = 1e-5
+    recompute_lcb_max: bool = True
+    bounded_transform: str = "logit"
+    warp_every_iters: int = 5
+    incremental_warp_delay: bool = True
+    warp_tol_reliability: float = 3.0
+    warp_roto_scaling: bool = True
+    warp_cov_reg: float = 0.0
+    warp_roto_corr_thresh: float = 0.05
+    warp_min_k: int = 5
+    warp_undo_check: bool = True
+    warp_tol_improvement: float = 0.1
+    warp_tol_sd_multiplier: float = 2.0
+    warp_tol_sd_base: float = 1.0
+    elcbo_weight: float = 0.0
+
+    # --- TPU-specific knobs (not in the reference) ---
+    seed: int = 0
+    n_gp_chains: int = 4           # parallel slice-sampling chains
+    lbfgs_iters: int = 80
+
+    def resolve(self, D: int) -> "ResolvedOptions":
+        o = ResolvedOptions(D=D, user=self)
+        return o
+
+
+def _evalopt(v: Union[int, float, Callable, None], arg):
+    """Evaluate a numeric-or-callable option at ``arg``
+    (cf. `misc/evaloption_vbmc.m`)."""
+    if v is None:
+        return None
+    if callable(v):
+        return v(arg)
+    return v
+
+
+class ResolvedOptions:
+    """Concrete option values for a given dimension D."""
+
+    def __init__(self, D: int, user: VBMCOptions):
+        u = user
+        self.user = u
+        self.D = D
+        for f in dataclasses.fields(u):
+            setattr(self, f.name, getattr(u, f.name))
+
+        # D-dependent defaults (vbmc.m:158-366).
+        if self.max_iter is None:
+            self.max_iter = 50 * (2 + D)
+        if self.max_fun_evals is None:
+            self.max_fun_evals = 50 * (2 + D)
+        if self.tol_stable_count is None:
+            self.tol_stable_count = 60
+        if self.fun_eval_start is None:
+            self.fun_eval_start = 10 * _ceil((D + 1) / 10)
+        if self.warmup_no_impro_threshold is None:
+            self.warmup_no_impro_threshold = 20 + 5 * D
+        if self.stable_gp_sampling is None:
+            self.stable_gp_sampling = 200 + 10 * D
+        if self.max_iter_stochastic is None:
+            self.max_iter_stochastic = 100 * (2 + D)
+        if self.tol_skl is None:
+            self.tol_skl = 0.01 * math.sqrt(D)
+        if self.min_fun_evals is None:
+            self.min_fun_evals = 5 * D
+        if self.min_iter is None:
+            self.min_iter = D
+        if self.warmup_keep_threshold is None:
+            self.warmup_keep_threshold = 10.0 * D
+        if self.warmup_keep_threshold_false_alarm is None:
+            self.warmup_keep_threshold_false_alarm = 100.0 * (D + 2)
+        if self.search_max_fun_evals is None:
+            self.search_max_fun_evals = 500 * (D + 2)
+        if self.out_warp_thresh_base is None:
+            self.out_warp_thresh_base = 10.0 * D
+        if self.noise_shaping_threshold is None:
+            self.noise_shaping_threshold = 10.0 * D
+
+        # Callable defaults.
+        self.ns_ent = u.ns_ent or (lambda K: 100 * K ** (2 / 3))
+        self.ns_ent_fast = u.ns_ent_fast or (lambda K: 0)
+        self.ns_ent_fine = u.ns_ent_fine or (lambda K: 2 ** 12 * K)
+        self.ns_ent_boost = u.ns_ent_boost or (lambda K: 200 * K ** (2 / 3))
+        self.ns_ent_fast_boost = u.ns_ent_fast_boost or self.ns_ent_fast
+        self.ns_ent_fine_boost = u.ns_ent_fine_boost or self.ns_ent_fine
+        self.ns_ent_active = u.ns_ent_active or (lambda K: 20 * K ** (2 / 3))
+        self.ns_ent_fast_active = u.ns_ent_fast_active or (lambda K: 0)
+        self.ns_ent_fine_active = u.ns_ent_fine_active or (lambda K: 200 * K)
+        self.ns_elbo = u.ns_elbo or (lambda K: 50 * K)
+        self.k_fun_max = u.k_fun_max or (lambda N: N ** (2 / 3))
+        self.pruning_threshold_multiplier = (
+            u.pruning_threshold_multiplier or (lambda K: 1 / math.sqrt(K)))
+        self.gp_length_prior_mean = (
+            u.gp_length_prior_mean or (lambda D_: math.sqrt(D_ / 6.0)))
+
+        # SpecifyTargetNoise implies UncertaintyHandling.
+        if self.uncertainty_handling is None:
+            self.uncertainty_handling = bool(self.specify_target_noise)
+
+        # Noisy-target overlay (setupoptions_vbmc.m:144-163): applied only to
+        # values the user did not set explicitly.
+        if self.uncertainty_handling:
+            if u.max_fun_evals is None:
+                self.max_fun_evals = _ceil(self.max_fun_evals * 1.5)
+            if u.tol_stable_count is None:
+                self.tol_stable_count = _ceil(self.tol_stable_count * 1.5)
+            if u.active_sample_gp_update is None:
+                self.active_sample_gp_update = True
+            if u.active_sample_vp_update is None:
+                self.active_sample_vp_update = True
+            if u.search_acq_fcn is None:
+                self.search_acq_fcn = ("viqr",)
+        else:
+            if self.active_sample_gp_update is None:
+                self.active_sample_gp_update = False
+            if self.active_sample_vp_update is None:
+                self.active_sample_vp_update = False
+            if self.search_acq_fcn is None:
+                self.search_acq_fcn = ("prospective",)
+        if self.active_sample_gp_update is None:
+            self.active_sample_gp_update = False
+        if self.active_sample_vp_update is None:
+            self.active_sample_vp_update = False
+
+        self.max_iter = max(self.max_iter, self.min_iter)
+        self.max_fun_evals = max(self.max_fun_evals, self.min_fun_evals)
+
+        if not (1 <= self.temperature <= 4):
+            raise ValueError("temperature must be an integer in 1..4")
+
+    def evalopt(self, name: str, arg):
+        return _evalopt(getattr(self, name), arg)

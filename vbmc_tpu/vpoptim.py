@@ -1,0 +1,468 @@
+"""Variational posterior optimization: candidate generation ("vbinit"),
+the sieve (one vmapped batch of cheap ELCBO evaluations instead of the
+reference's loop over 50*K candidates, cf. `misc/vpsieve_vbmc.m`),
+deterministic (L-BFGS on the entropy lower bound) and stochastic (Adam on the
+MC-entropy ELBO) optimization, precise re-evaluation, and weight pruning
+(cf. `misc/vpoptimize_vbmc.m`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vbmc_tpu.gp.config import GPConfig
+from vbmc_tpu.gp.gp import GP
+from vbmc_tpu import elbo as eb
+from vbmc_tpu.vp import VariationalPosterior, masked_softmax
+from vbmc_tpu.optim import minimize_lbfgs_bounded, fminadam
+from vbmc_tpu.utils.math import bucket_k
+
+
+def _bucket_ent(n: int) -> int:
+    """Bucket per-component entropy sample counts to powers of two so jit
+    caches stay small (more samples than requested is strictly better)."""
+    if n <= 0:
+        return 0
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
+# ----------------------------------------------------------------------
+# Candidate generation (cf. misc/vbinit_vbmc.m)
+# ----------------------------------------------------------------------
+
+def vbinit(rng: np.random.Generator, init_type: int, n_opts: int,
+           vp: VariationalPosterior, K_new: int, k_max: int,
+           X_star: np.ndarray, y_star: np.ndarray, opt_weights: bool):
+    """Generate ``n_opts`` candidate parameter sets of K_new components.
+
+    Returns stacked host arrays: mu (n, k_max, D), sigma (n, k_max),
+    lam (n, D), w (n, k_max).
+    """
+    D = vp.D
+    K_old = int(np.sum(np.asarray(vp.kmask)))
+    mu0 = np.asarray(vp.mu)[:K_old]           # (K_old, D)
+    sigma0 = np.asarray(vp.sigma)[:K_old]
+    lam0 = np.asarray(vp.lam)
+    w0 = np.asarray(vp.w)[:K_old]
+    n_star = X_star.shape[0]
+
+    mu_c = np.zeros((n_opts, k_max, D))
+    sg_c = np.ones((n_opts, k_max))
+    lam_c = np.tile(lam0, (n_opts, 1))
+    w_c = np.zeros((n_opts, k_max))
+
+    for i in range(n_opts):
+        add_jitter = True
+        if init_type == 1:
+            # From old variational parameters; spawn new comps near existing.
+            mu = np.zeros((K_new, D))
+            sigma = np.ones(K_new)
+            w = np.full(K_new, 1.0 / K_new)
+            mu[:K_old] = mu0[:K_new] if K_old >= K_new else mu0
+            sigma[:K_old] = sigma0[:K_new] if K_old >= K_new else sigma0
+            if opt_weights:
+                w[:K_old] = w0[:K_new] if K_old >= K_new else w0
+            lam = lam0.copy()
+            if i == 0:
+                add_jitter = False
+            for k in range(K_old, K_new):
+                idx = rng.integers(K_old)
+                mu[k] = mu0[idx] + 0.5 * sigma0[idx] * lam0 * \
+                    rng.standard_normal(D)
+                sigma[k] = sigma0[idx] * np.exp(0.2 * rng.standard_normal())
+                if opt_weights:
+                    xi = 0.25 + 0.25 * rng.random()
+                    w[k] = xi * w[idx]
+                    w[idx] = (1 - xi) * w[idx]
+        elif init_type == 2:
+            # Highest-density training points as means.
+            order = np.argsort(y_star)[::-1]
+            idx_ord = np.resize(np.arange(min(K_new, n_star)), K_new)
+            mu = X_star[order[idx_ord]]
+            V = np.var(mu, axis=0) if K_new > 1 else np.var(X_star, axis=0)
+            lam = X_star.std(axis=0, ddof=1) + 1e-12
+            lam = lam * np.sqrt(D / np.sum(lam ** 2))
+            sigma = np.sqrt(np.mean(V / lam ** 2) / K_new) * \
+                np.exp(0.2 * rng.standard_normal(K_new))
+            w = np.full(K_new, 1.0 / K_new)
+            if i == 0:
+                add_jitter = False
+        else:
+            # Random training points as means.
+            order = rng.permutation(n_star)
+            idx_ord = np.resize(np.arange(min(K_new, n_star)), K_new)
+            mu = X_star[order[idx_ord]]
+            V = np.var(mu, axis=0) if K_new > 1 else np.var(X_star, axis=0)
+            sigma = np.sqrt(np.mean(V) / K_new) * \
+                np.exp(0.2 * rng.standard_normal(K_new))
+            lam = X_star.std(axis=0, ddof=1) + 1e-12
+            lam = lam * np.sqrt(D / np.sum(lam ** 2))
+            w = np.full(K_new, 1.0 / K_new)
+
+        if add_jitter:
+            mu = mu + sigma[:, None] * lam[None, :] * \
+                rng.standard_normal((K_new, D))
+            sigma = sigma * np.exp(0.2 * rng.standard_normal(K_new))
+            lam = lam * np.exp(0.2 * rng.standard_normal(D))
+            if opt_weights:
+                w = w * np.exp(0.2 * rng.standard_normal(K_new))
+        w = np.maximum(w, 1e-12)
+        w = w / w.sum()
+
+        mu_c[i, :K_new] = mu
+        sg_c[i, :K_new] = np.maximum(sigma, 1e-10)
+        lam_c[i] = np.maximum(lam, 1e-10)
+        w_c[i, :K_new] = w
+    return mu_c, sg_c, lam_c, w_c
+
+
+# ----------------------------------------------------------------------
+# Sieve: batched cheap ELCBO over all candidates
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "n_ent_per_k"))
+def _sieve_eval(cfg: GPConfig, thetas, gp: GP, mu0, sigma0, lam0, w0, kmask,
+                flags: eb.VPFlags, n_ent_per_k: int, keys, bnd):
+    def one(theta, key):
+        F, _ = eb.negelcbo(cfg, theta, gp, mu0, sigma0, lam0, w0, kmask,
+                           flags, 0.0, n_ent_per_k, 0, key, bnd=bnd,
+                           use_bounds=True)
+        return F
+    return jax.vmap(one)(thetas, keys)
+
+
+# ----------------------------------------------------------------------
+# Full optimization
+# ----------------------------------------------------------------------
+
+class VPTemplate(NamedTuple):
+    """Fixed (non-optimized) VP arrays threaded through the objective."""
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+    lam: jnp.ndarray
+    w: jnp.ndarray
+    kmask: jnp.ndarray
+
+
+def _thetas_np(flags, mu_c, sg_c, lam_c, w_c, kmask_np):
+    """Vectorized host-side theta packing for a batch of candidates."""
+    parts = []
+    if flags.opt_mu:
+        parts.append(mu_c.reshape(mu_c.shape[0], -1))
+    if flags.opt_sigma:
+        parts.append(np.log(sg_c))
+    if flags.opt_lambda:
+        parts.append(np.log(lam_c))
+    if flags.opt_weights:
+        eta = np.where(kmask_np[None, :],
+                       np.log(np.maximum(w_c, 1e-300)), -40.0)
+        parts.append(eta)
+    return np.concatenate(parts, axis=1)
+
+
+class VPOptimResult(NamedTuple):
+    vp: VariationalPosterior
+    elbo: float
+    elbo_sd: float
+    G: float
+    H: float
+    varss: float
+    varG: float
+    pruned: int
+    I_sk: np.ndarray
+    J_sjk: np.ndarray
+
+
+def _theta_from_arrays(flags, mu, sigma, lam, w, kmask):
+    eta = jnp.where(kmask, jnp.log(jnp.maximum(w, 1e-300)), -40.0)
+    return eb.pack_theta(flags, jnp.asarray(mu), jnp.asarray(sigma),
+                         jnp.asarray(lam), eta)
+
+
+def _full_eval(cfg, theta, gp, tmpl, flags, n_fine_per_k, key):
+    st = eb.elbo_stats(cfg, theta, gp, tmpl.mu, tmpl.sigma, tmpl.lam, tmpl.w,
+                       tmpl.kmask, flags, n_fine_per_k, 1, key)
+    return st
+
+
+def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
+               K_new: int, options, *, warmup: bool, entropy_switch: bool,
+               n_fast_opts: int, n_slow_opts: int,
+               n_ent=None, n_ent_fine=None,
+               prune: bool = True) -> VPOptimResult:
+    """Optimize the variational posterior to K_new components.
+
+    Orchestration is host-side; every numeric batch (sieve, L-BFGS/Adam
+    steps, precise ELCBO) is a jitted kernel.
+    """
+    D = vp.D
+    seed = int(jax.random.randint(jax.random.fold_in(key, 17), (), 0,
+                                  2 ** 31 - 1))
+    rng = np.random.default_rng(seed)
+    k_max = bucket_k(K_new)
+
+    opt_weights = (not warmup) and options.variable_weights
+    opt_mu = options.variable_means if not warmup else True
+    flags = eb.VPFlags(opt_mu=opt_mu, opt_sigma=True, opt_lambda=True,
+                       opt_weights=opt_weights)
+
+    # Entropy sample schedule.
+    if n_ent is None:
+        n_ent = options.evalopt("ns_ent", K_new)
+    if n_ent_fine is None:
+        n_ent_fine = options.evalopt("ns_ent_fine", K_new)
+    ns_ent_k = _bucket_ent(int(math.ceil(n_ent / K_new)))
+    if entropy_switch or K_new == 1:
+        ns_ent_k = 0
+    ns_fine_k = _bucket_ent(int(math.ceil(n_ent_fine / K_new)))
+    if entropy_switch:
+        ns_fine_k = 0
+
+    # HPD subset for candidate generation.
+    from vbmc_tpu.gp.fit import get_hpd
+    m = np.asarray(gp.mask, bool)
+    X_all = np.asarray(gp.X)[m]
+    y_all = np.asarray(gp.y)[m]
+    X_hpd, y_hpd = get_hpd(X_all, y_all, options.hpd_frac)
+
+    # Soft bounds (from training-point hull).
+    bnd = eb.compute_vp_bounds(gp, options, K_new)
+
+    # --- candidate generation + sieve --------------------------------
+    if n_fast_opts > 0:
+        n3 = int(math.ceil(n_fast_opts / 3))
+        cand = []
+        types = []
+        if n_slow_opts == 1:
+            mu_c, sg_c, lam_c, w_c = vbinit(rng, 1, n_fast_opts, vp, K_new,
+                                            k_max, X_hpd, y_hpd, opt_weights)
+            cand.append((mu_c, sg_c, lam_c, w_c))
+            types.append(np.ones(n_fast_opts, dtype=int))
+        else:
+            for t, n_t in ((1, n3), (2, n3), (3, n_fast_opts - 2 * n3)):
+                if n_t <= 0:
+                    continue
+                arrs = vbinit(rng, t, n_t, vp, K_new, k_max, X_hpd, y_hpd,
+                              opt_weights)
+                cand.append(arrs)
+                types.append(np.full(n_t, t, dtype=int))
+        mu_c = np.concatenate([c[0] for c in cand])
+        sg_c = np.concatenate([c[1] for c in cand])
+        lam_c = np.concatenate([c[2] for c in cand])
+        w_c = np.concatenate([c[3] for c in cand])
+        types = np.concatenate(types)
+
+        kmask_np = np.arange(k_max) < K_new
+        kmask = jnp.asarray(kmask_np)
+        dtype = gp.X.dtype
+        thetas = jnp.asarray(_thetas_np(flags, mu_c, sg_c, lam_c, w_c,
+                                        kmask_np), dtype=dtype)
+
+        tmpl_mu = jnp.asarray(mu_c[0], dtype=dtype)
+        tmpl_sigma = jnp.asarray(sg_c[0], dtype=dtype)
+        tmpl_lam = jnp.asarray(lam_c[0], dtype=dtype)
+        tmpl_w = jnp.asarray(w_c[0], dtype=dtype)
+
+        keys = jax.random.split(jax.random.fold_in(key, 3), thetas.shape[0])
+        # Sieve uses the *fast* entropy (0 by default => deterministic bound).
+        nelcbo = np.asarray(_sieve_eval(cfg, thetas, gp, tmpl_mu, tmpl_sigma,
+                                        tmpl_lam, tmpl_w, kmask, flags, 0,
+                                        keys, bnd))
+        nelcbo = np.where(np.isfinite(nelcbo), nelcbo, np.inf)
+        order = np.argsort(nelcbo)
+        thetas_np = np.asarray(thetas)[order]
+        types = types[order]
+    else:
+        kmask = jnp.asarray(np.arange(k_max) < K_new)
+        dtype = gp.X.dtype
+        # Repad current vp to k_max.
+        mu_p = np.zeros((k_max, D)); sg_p = np.ones(k_max)
+        w_p = np.zeros(k_max)
+        K_old = int(np.sum(np.asarray(vp.kmask)))
+        mu_p[:K_old] = np.asarray(vp.mu)[:K_old]
+        sg_p[:K_old] = np.asarray(vp.sigma)[:K_old]
+        w_p[:K_old] = np.asarray(vp.w)[:K_old]
+        th = np.asarray(_theta_from_arrays(
+            flags, jnp.asarray(mu_p, dtype=dtype), jnp.asarray(sg_p, dtype=dtype),
+            jnp.asarray(np.asarray(vp.lam), dtype=dtype),
+            jnp.asarray(w_p, dtype=dtype), kmask))
+        thetas_np = th[None, :]
+        types = np.array([1])
+        tmpl_mu = jnp.asarray(mu_p, dtype=dtype)
+        tmpl_sigma = jnp.asarray(sg_p, dtype=dtype)
+        tmpl_lam = jnp.asarray(np.asarray(vp.lam), dtype=dtype)
+        tmpl_w = jnp.asarray(w_p, dtype=dtype)
+
+    tmpl = VPTemplate(tmpl_mu, tmpl_sigma, tmpl_lam, tmpl_w, kmask)
+
+    # --- pick starts per strategy and run slow optimizations ----------
+    results = []  # (theta, stats dict)
+    taken = np.zeros(len(types), dtype=bool)
+
+    def pick_start(i_opt):
+        if n_slow_opts == 1:
+            want = None
+        elif n_slow_opts == 2:
+            want = [1] if i_opt == 0 else [2, 3]
+        else:
+            want = [((i_opt) % 3) + 1]
+        for j in range(len(types)):
+            if taken[j]:
+                continue
+            if want is None or types[j] in want:
+                taken[j] = True
+                return thetas_np[j]
+        for j in range(len(types)):
+            if not taken[j]:
+                taken[j] = True
+                return thetas_np[j]
+        return thetas_np[0]
+
+    elcbo_beta = options.elcbo_weight
+    for i_opt in range(max(n_slow_opts, 1)):
+        theta0 = jnp.asarray(pick_start(i_opt))
+        k_i = jax.random.fold_in(key, 100 + i_opt)
+
+        if ns_ent_k == 0:
+            # Deterministic path: L-BFGS on the entropy lower bound.
+            theta_opt, _ = _lbfgs_cached(cfg, flags, theta0, gp, tmpl,
+                                         elcbo_beta, bnd, k_i,
+                                         options.lbfgs_iters)
+            mids = [theta_opt]
+        else:
+            # Stochastic path: Adam on the MC-entropy objective.
+            step_min = min(options.sgd_step_size, 0.001)
+            if warmup or not opt_weights:
+                step_max = min(0.1, options.sgd_step_size * 10)
+            else:
+                step_max = min(0.1, options.sgd_step_size)
+            step_max = max(step_min, step_max)
+            res = _adam_cached(cfg, flags, theta0, gp, tmpl, elcbo_beta, bnd,
+                               k_i, ns_ent_k,
+                               int(min(options.max_iter_stochastic, 10000)),
+                               step_min, step_max,
+                               options.tol_fun_stochastic)
+            theta_opt = res.x
+            if options.elcbo_midpoint:
+                best_i = int(jnp.argmin(jnp.where(
+                    jnp.arange(res.f_trace.shape[0]) < res.n_iters,
+                    res.f_trace, jnp.inf)))
+                mids = [res.x_trace[best_i], theta_opt]
+            else:
+                mids = [theta_opt]
+
+        for th in mids:
+            st = _full_eval(cfg, th, gp, tmpl, flags, ns_fine_k,
+                            jax.random.fold_in(k_i, 7))
+            results.append((np.asarray(th), st))
+
+    # --- select best by ELCBO ---------------------------------------
+    beta_sel = options.elcbo_impro_weight * 0.0  # selection uses nelcbo below
+    nelcbo_vals = []
+    for th, st in results:
+        nelbo = -float(st["elbo"])
+        nelcbo_vals.append(nelbo + elcbo_beta * math.sqrt(max(float(st["varF"]), 0.0)))
+    best = int(np.argmin(nelcbo_vals))
+    theta_best, st_best = results[best]
+
+    # --- pruning ------------------------------------------------------
+    pruned = 0
+    kmask_np = np.asarray(tmpl.kmask).copy()
+    w_cur = np.asarray(st_best["w"])
+    mu_cur = np.asarray(st_best["mu"])
+    sg_cur = np.asarray(st_best["sigma"])
+    lam_cur = np.asarray(st_best["lam"])
+    elbo_cur = float(st_best["elbo"])
+    elbo_sd_cur = math.sqrt(max(float(st_best["varF"]), 0.0))
+    st_cur = st_best
+
+    if prune and opt_weights:
+        threshold_mult = options.evalopt("pruning_threshold_multiplier", K_new)
+        pruning_threshold = options.tol_improvement * threshold_mult
+        checked = np.zeros(k_max, dtype=bool)
+        while True:
+            small = np.where((w_cur < options.tol_weight) & kmask_np
+                             & ~checked)[0]
+            if small.size == 0 or kmask_np.sum() <= 1:
+                break
+            idx = int(rng.choice(small))
+            kmask_try = kmask_np.copy()
+            kmask_try[idx] = False
+            w_try = w_cur * kmask_try
+            w_try = w_try / w_try.sum()
+            th_try = _theta_from_arrays(
+                flags, mu_cur, sg_cur, lam_cur, w_try, jnp.asarray(kmask_try))
+            tmpl_try = tmpl._replace(kmask=jnp.asarray(kmask_try),
+                                     w=jnp.asarray(w_try))
+            st_try = _full_eval(cfg, th_try, gp, tmpl_try, flags, ns_fine_k,
+                                jax.random.fold_in(key, 999 + idx))
+            elbo_try = float(st_try["elbo"])
+            sd_try = math.sqrt(max(float(st_try["varF"]), 0.0))
+            d_elcbo = abs((elbo_try - options.elcbo_impro_weight * sd_try)
+                          - (elbo_cur - options.elcbo_impro_weight * elbo_sd_cur))
+            if d_elcbo < pruning_threshold:
+                kmask_np = kmask_try
+                w_cur = np.asarray(st_try["w"])
+                elbo_cur, elbo_sd_cur = elbo_try, sd_try
+                st_cur = st_try
+                pruned += 1
+            else:
+                checked[idx] = True
+
+    vp_new = VariationalPosterior(
+        w=jnp.asarray(w_cur * kmask_np / max((w_cur * kmask_np).sum(), 1e-300),
+                      dtype=gp.X.dtype),
+        eta=jnp.asarray(np.where(kmask_np,
+                                 np.log(np.maximum(w_cur, 1e-300)), -40.0),
+                        dtype=gp.X.dtype),
+        mu=jnp.asarray(np.asarray(st_cur["mu"]), dtype=gp.X.dtype),
+        sigma=jnp.asarray(np.asarray(st_cur["sigma"]), dtype=gp.X.dtype),
+        lam=jnp.asarray(np.asarray(st_cur["lam"]), dtype=gp.X.dtype),
+        kmask=jnp.asarray(kmask_np),
+        trinfo=vp.trinfo)
+
+    return VPOptimResult(
+        vp=vp_new, elbo=elbo_cur, elbo_sd=elbo_sd_cur,
+        G=float(st_cur["G"]), H=float(st_cur["H"]),
+        varss=float(st_cur["varss"]), varG=float(st_cur["varF"]),
+        pruned=pruned, I_sk=np.asarray(st_cur["I_sk"]),
+        J_sjk=np.asarray(st_cur["J_sjk"]))
+
+
+# ----------------------------------------------------------------------
+# Cached jitted optimizer drivers
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "maxiter"))
+def _lbfgs_cached(cfg, flags, theta0, gp, tmpl, beta, bnd, key, maxiter):
+    def obj(th):
+        F, _ = eb.negelcbo(cfg, th, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
+                           tmpl.w, tmpl.kmask, flags, beta, 0, 0, key,
+                           bnd=bnd, use_bounds=True)
+        return F
+    lb = jnp.full(theta0.shape, -jnp.inf, dtype=theta0.dtype)
+    ub = jnp.full(theta0.shape, jnp.inf, dtype=theta0.dtype)
+    return minimize_lbfgs_bounded(obj, theta0, lb, ub, maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "ns_ent_k", "maxiter"))
+def _adam_cached(cfg, flags, theta0, gp, tmpl, beta, bnd, key, ns_ent_k,
+                 maxiter, step_min, step_max, tol_fun):
+    def f_vg(th, k):
+        def f(t):
+            F, _ = eb.negelcbo(cfg, t, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
+                               tmpl.w, tmpl.kmask, flags, beta, ns_ent_k, 0,
+                               k, bnd=bnd, use_bounds=True)
+            return F
+        return jax.value_and_grad(f)(th)
+    return fminadam(f_vg, theta0, tol_fun=tol_fun, maxiter=maxiter,
+                    step_min=step_min, step_max=step_max, key=key)
