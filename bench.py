@@ -1,0 +1,183 @@
+"""VBMC-TPU benchmark harness.
+
+Runs the reference's self-test workload (full VBMC runs against analytic
+targets with known log-normalizer, cf. `test/runtest_vbmc.m`: ~240 s for 6
+runs x 100 evaluations on an i7-9750H under MATLAB) and prints ONE JSON line:
+
+    {"metric": "selftest_speedup", "value": ..., "unit": "x", "vs_baseline": ...}
+
+value = (MATLAB baseline seconds, scaled to the blocks run here) / (our
+wall-clock seconds). Wall-clock includes everything except a small warm-up
+run that triggers jit compilation (the reference number also excludes
+MATLAB's own JIT/startup; compilation caches persist across runs in
+production use).
+
+Env knobs: VBMC_BENCH_X64=1 forces float64; VBMC_BENCH_BLOCKS limits blocks.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Allow running from the repo root.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+if os.environ.get("VBMC_BENCH_X64", "0") == "1":
+    jax.config.update("jax_enable_x64", True)
+
+MATLAB_BASELINE_TOTAL = 240.0   # seconds, 6 blocks (runtest_vbmc.m:10-11)
+MATLAB_BLOCKS = 6
+
+
+def _blocks():
+    """Benchmark blocks mirroring runtest_vbmc.m targets."""
+    blocks = []
+
+    # 1) D=6 multivariate normal, unconstrained (runtest:17-26).
+    D = 6
+    sd6 = np.linspace(0.5, 1.5, D)
+
+    def mvn6(x):
+        return float(-0.5 * np.sum((x / sd6) ** 2)
+                     - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd6)))
+    blocks.append(dict(name="mvn6", fun=mvn6, D=6, lnz=0.0,
+                       mean=np.zeros(6), x0=np.full(6, 0.3),
+                       lb=None, ub=None, plb=np.full(6, -3.0),
+                       pub=np.full(6, 3.0), noisy=False))
+
+    # 2) D=2 half-normal, constrained (runtest:28-37).
+    sd2 = np.array([1.0, 0.6])
+
+    def halfnorm(x):
+        return float(-0.5 * np.sum((x / sd2) ** 2)
+                     - np.log(2 * np.pi) - np.sum(np.log(sd2)))
+    blocks.append(dict(name="halfnorm2", fun=halfnorm, D=2,
+                       lnz=float(np.log(0.25)),
+                       mean=sd2 * np.sqrt(2 / np.pi),
+                       x0=np.array([0.5, 0.5]), lb=np.zeros(2),
+                       ub=np.full(2, 10.0), plb=np.full(2, 0.05),
+                       pub=np.full(2, 3.0), noisy=False))
+
+    # 3) D=3 correlated "cigar" normal, unconstrained (runtest:39-47).
+    D = 3
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((D, D))
+    Q, _ = np.linalg.qr(A)
+    scales = np.array([2.0, 0.5, 0.1])
+    cov3 = Q @ np.diag(scales ** 2) @ Q.T
+    prec3 = np.linalg.inv(cov3)
+    lognorm3 = -0.5 * D * np.log(2 * np.pi) - 0.5 * np.linalg.slogdet(cov3)[1]
+
+    def cigar(x):
+        return float(-0.5 * x @ prec3 @ x + lognorm3)
+    blocks.append(dict(name="cigar3", fun=cigar, D=3, lnz=0.0,
+                       mean=np.zeros(3), x0=np.full(3, 0.25),
+                       lb=None, ub=None, plb=np.full(3, -4.0),
+                       pub=np.full(3, 4.0), noisy=False))
+
+    # 4) D=3 cigar, constrained (runtest:49-57).
+    def cigar_c(x):
+        return float(-0.5 * x @ prec3 @ x + lognorm3)
+    # Box [-5, 5]^3 captures essentially all mass: lnZ ~ 0.
+    blocks.append(dict(name="cigar3_box", fun=cigar_c, D=3, lnz=0.0,
+                       mean=np.zeros(3), x0=np.full(3, 0.25),
+                       lb=np.full(3, -5.0), ub=np.full(3, 5.0),
+                       plb=np.full(3, -4.0), pub=np.full(3, 4.0),
+                       noisy=False))
+
+    # 5) D=2 noisy half-normal (sigma=1 additive noise, runtest:59-67).
+    noise_rng = np.random.default_rng(1)
+
+    def halfnorm_noisy(x):
+        y = (-0.5 * np.sum((x / sd2) ** 2)
+             - np.log(2 * np.pi) - np.sum(np.log(sd2)))
+        return float(y + noise_rng.standard_normal()), 1.0
+    blocks.append(dict(name="halfnorm2_noisy", fun=halfnorm_noisy, D=2,
+                       lnz=float(np.log(0.25)),
+                       mean=sd2 * np.sqrt(2 / np.pi),
+                       x0=np.array([0.5, 0.5]), lb=np.zeros(2),
+                       ub=np.full(2, 10.0), plb=np.full(2, 0.05),
+                       pub=np.full(2, 3.0), noisy=True))
+
+    # 6) D=1 uniform-ish smooth box (runtest:69-78).
+    def unif1(x):
+        s = 0.2
+        lo, hi = -1.0, 1.0
+        v = x[0]
+        # Smooth box: flat log-density inside, Gaussian falloff outside.
+        if v < lo:
+            return float(-0.5 * ((v - lo) / s) ** 2 - np.log(hi - lo + s * np.sqrt(2 * np.pi)))
+        if v > hi:
+            return float(-0.5 * ((v - hi) / s) ** 2 - np.log(hi - lo + s * np.sqrt(2 * np.pi)))
+        return float(-np.log(hi - lo + s * np.sqrt(2 * np.pi)))
+    blocks.append(dict(name="smoothbox1", fun=unif1, D=1, lnz=0.0,
+                       mean=np.zeros(1), x0=np.zeros(1),
+                       lb=None, ub=None, plb=np.full(1, -2.0),
+                       pub=np.full(1, 2.0), noisy=False))
+    return blocks
+
+
+def run_block(blk, seed, max_fun_evals=100):
+    from vbmc_tpu import vbmc, VBMCOptions, vp_moments
+    opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals, seed=seed,
+                       min_final_components=20,
+                       specify_target_noise=blk["noisy"])
+    res = vbmc(blk["fun"], x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
+               plb=blk["plb"], pub=blk["pub"], options=opts)
+    mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
+    err_elbo = abs(res.elbo - blk["lnz"])
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - blk["mean"]) ** 2)))
+    ok = (res.exitflag >= 0) and err_elbo < 0.5 and rmse < 0.5
+    return dict(name=blk["name"], ok=bool(ok), elbo_err=float(err_elbo),
+                rmse=rmse, func_count=res.func_count,
+                iters=res.iterations)
+
+
+def main():
+    blocks = _blocks()
+    n_blocks = int(os.environ.get("VBMC_BENCH_BLOCKS", len(blocks)))
+    blocks = blocks[:n_blocks]
+
+    # Warm-up: a tiny run to trigger jit compilation of the hot kernels.
+    warm = dict(blocks[1])  # 2-D constrained covers the full path
+    t_warm = time.monotonic()
+    run_block(warm, seed=99, max_fun_evals=30)
+    warm_s = time.monotonic() - t_warm
+
+    t0 = time.monotonic()
+    results = [run_block(blk, seed=i + 1) for i, blk in enumerate(blocks)]
+    elapsed = time.monotonic() - t0
+
+    n_ok = sum(r["ok"] for r in results)
+    baseline_scaled = MATLAB_BASELINE_TOTAL * len(blocks) / MATLAB_BLOCKS
+    speedup = baseline_scaled / elapsed
+
+    for r in results:
+        print(f"# {r['name']}: ok={r['ok']} elbo_err={r['elbo_err']:.3f} "
+              f"rmse={r['rmse']:.3f} fevals={r['func_count']} "
+              f"iters={r['iters']}", file=sys.stderr)
+    print(f"# elapsed={elapsed:.1f}s warmup={warm_s:.1f}s "
+          f"accuracy={n_ok}/{len(results)}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "selftest_speedup",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup, 3),
+        "detail": {
+            "elapsed_s": round(elapsed, 1),
+            "warmup_s": round(warm_s, 1),
+            "blocks": len(results),
+            "accuracy_passed": n_ok,
+            "baseline_s_scaled": round(baseline_scaled, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -276,7 +276,7 @@ def entropy_lower_bound(mu, sigma, lam, w, kmask):
     gamma_max = jnp.max(jnp.where(m[None, :] > 0, log_gamma, -jnp.inf),
                         axis=1, keepdims=True)
     gsum = jnp.sum(wk[None, :] * jnp.exp(log_gamma - gamma_max), axis=1)
-    log_gsum = jnp.log(jnp.maximum(gsum, 1e-300)) + gamma_max[:, 0]
+    log_gsum = jnp.log(jnp.maximum(gsum, jnp.finfo(gsum.dtype).tiny)) + gamma_max[:, 0]
     H = -jnp.sum(jnp.where(kmask, w * log_gsum, 0.0))
     # Exact-entropy correction for a single active component
     # (`entlb_vbmc.m:32-47`): H_exact - H_lb = D/2 (1 - log 2).
@@ -304,7 +304,7 @@ def entropy_mc(key, mu, sigma, lam, w, kmask, n_per_k: int):
                   / scale[None, None, :, :]) ** 2, axis=-1)  # (Kj, n, Kk)
     log_norm = (-0.5 * D * _LOG2PI - jnp.sum(jnp.log(scale), axis=-1))
     comp = log_norm[None, None, :] - 0.5 * z2
-    logw = jnp.where(kmask, jnp.log(jnp.maximum(w, 1e-300)),
+    logw = jnp.where(kmask, jnp.log(jnp.maximum(w, jnp.finfo(w.dtype).tiny)),
                      jnp.finfo(dtype).min)
     logq = jax.scipy.special.logsumexp(comp + logw[None, None, :], axis=-1)
     mean_logq = jnp.mean(logq, axis=1)                     # (K,)

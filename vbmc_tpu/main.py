@@ -1,0 +1,647 @@
+"""The VBMC-TPU orchestrator: the full inference loop
+(cf. `vbmc.m:506-882` and the private controllers).
+
+Orchestration (state machine, warmup, termination, warp-undo transactions)
+stays in Python; every numeric path — GP fits, acquisition sweeps,
+variational optimization, posterior queries — is a jitted, batched, masked
+kernel from the other modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vbmc_tpu.options import VBMCOptions, ResolvedOptions
+from vbmc_tpu.transforms import create_trinfo, direct, LOGIT, PROBIT, STUDENT4
+from vbmc_tpu.function_logger import FunctionLogger
+from vbmc_tpu.gp.config import GPConfig, MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD, MEAN_SE
+from vbmc_tpu.gp.fit import train_gp, TrainOptions, get_hpd
+from vbmc_tpu.gp.predict import gp_predict
+from vbmc_tpu.vp import (VariationalPosterior, make_vp, vp_moments, vp_kldiv,
+                         is_valid_vp, vp_rnd)
+from vbmc_tpu.vpoptim import vpoptimize
+from vbmc_tpu.active_sample import (initial_design, active_sample,
+                                    SearchBounds, gp_reupdate)
+from vbmc_tpu import state as st
+from vbmc_tpu.utils.math import bucket_k, mvn_kl
+
+_MEANFUN_IDS = {"zero": MEAN_ZERO, "const": MEAN_CONST,
+                "negquad": MEAN_NEGQUAD, "se": MEAN_SE}
+_TRANSFORM_IDS = {"logit": LOGIT, "probit": PROBIT, "norminv": PROBIT,
+                  "student4": STUDENT4}
+
+
+@dataclasses.dataclass
+class VBMCResult:
+    vp: VariationalPosterior
+    elbo: float
+    elbo_sd: float
+    exitflag: int
+    message: str
+    stats: st.Stats
+    optim_state: st.OptimState
+    logger: FunctionLogger
+    vp_train: VariationalPosterior
+    func_count: int
+    iterations: int
+    convergence_status: str
+    idx_best: int
+    timers: dict
+
+
+def bounds_check(x0, lb, ub, plb, pub, D):
+    """Validate/repair bounds (cf. `misc/boundscheck_vbmc.m`)."""
+    def broadcast(v, default):
+        if v is None:
+            return np.full(D, default, dtype=float)
+        v = np.asarray(v, dtype=float).ravel()
+        if v.size == 1:
+            return np.full(D, float(v[0]))
+        return v.copy()
+
+    lb = broadcast(lb, -np.inf)
+    ub = broadcast(ub, np.inf)
+    x0 = np.atleast_2d(np.asarray(x0, float)) if x0 is not None else None
+
+    if plb is None or pub is None:
+        if x0 is not None and x0.shape[0] > 1:
+            plb_i = np.min(x0, axis=0) if plb is None else broadcast(plb, np.nan)
+            pub_i = np.max(x0, axis=0) if pub is None else broadcast(pub, np.nan)
+            width = pub_i - plb_i
+            plb_i = plb_i - 0.1 * width
+            pub_i = pub_i + 0.1 * width
+            plb = np.maximum(lb, plb_i)
+            pub = np.minimum(ub, pub_i)
+        else:
+            if plb is None:
+                plb = lb.copy()
+            if pub is None:
+                pub = ub.copy()
+    plb = broadcast(plb, np.nan)
+    pub = broadcast(pub, np.nan)
+
+    # Plausible bounds strictly inside hard bounds.
+    both = np.isfinite(lb) & np.isfinite(ub)
+    width = np.where(both, ub - lb, np.inf)
+    eps_b = 1e-3 * np.where(np.isfinite(width), width, 1.0)
+    fix = both & (plb <= lb)
+    plb[fix] = lb[fix] + eps_b[fix]
+    fix = both & (pub >= ub)
+    pub[fix] = ub[fix] - eps_b[fix]
+
+    if not np.all((lb <= plb) & (plb < pub) & (pub <= ub)):
+        raise ValueError("Bounds must satisfy LB <= PLB < PUB <= UB.")
+    half = (np.isfinite(lb) ^ np.isfinite(ub))
+    if np.any(half):
+        raise ValueError(
+            "Variables bounded only on one side are not supported; use a "
+            "transformed parameterization or provide both bounds.")
+
+    if x0 is not None:
+        x0 = np.clip(x0, plb - 1e9 * 0 + np.where(np.isfinite(lb), lb, -np.inf),
+                     np.where(np.isfinite(ub), ub, np.inf))
+    return x0, lb, ub, plb, pub
+
+
+def _gp_train_options(state: st.OptimState, stats: st.Stats,
+                      options: ResolvedOptions, logger: FunctionLogger,
+                      uncertainty_level: int) -> TrainOptions:
+    """GP training policy per iteration (cf. `misc/get_GPTrainOptions.m` and
+    the Ns schedule in `gptrain_vbmc.m:314-343`)."""
+    n = logger.n_train
+    neff = logger.neff
+    it = len(stats) + 1
+
+    # Hyperparameter sample count schedule.
+    if state.stop_sampling == 0:
+        ns = int(round(options.ns_gp_max / math.sqrt(max(n, 1))))
+        if state.warmup:
+            ns = min(ns, options.ns_gp_max_warmup)
+        else:
+            if math.isfinite(options.ns_gp_max_main):
+                ns = min(ns, int(options.ns_gp_max_main))
+        if n >= options.stable_gp_sampling:
+            state.stop_sampling = n
+        if state.vp_K >= options.stable_gp_vp_k:
+            state.stop_sampling = n
+    if state.stop_sampling > 0:
+        ns = options.stable_gp_samples
+
+    # Cubic Ninit schedule 1024 -> 64 (`get_GPTrainOptions:93-100`).
+    a = -(options.gp_train_n_init - options.gp_train_n_init_final)
+    b, c, d = -3 * a, 3 * a, options.gp_train_n_init
+    x = (neff - options.fun_eval_start) / \
+        (min(options.max_fun_evals, 1e3) - options.fun_eval_start)
+    n_init = max(int(round(a * x ** 3 + b * x ** 2 + c * x + d)), 0)
+
+    rindex_prev = stats.last.rindex if len(stats) else math.inf
+    thin = options.gp_sample_thin
+    if state.recompute_var_post:
+        burnin = thin * ns
+        nopts = 1 if ns > 0 else 2
+    else:
+        burnin = thin * 3
+        if rindex_prev < options.gp_retrain_threshold:
+            n_init = 0
+            nopts = 0 if ns > 0 else 1
+        else:
+            burnin = thin * ns
+            nopts = 1 if ns > 0 else 2
+
+    # Sampler widths from the running weighted hyp covariance.
+    widths = None
+    if options.gp_sample_widths > 0 and state.hyp_runcov is not None:
+        widthmult = max(options.gp_sample_widths,
+                        rindex_prev if math.isfinite(rindex_prev) else
+                        options.gp_sample_widths)
+        widths = np.maximum(np.sqrt(np.diag(state.hyp_runcov)), 1e-3) * widthmult
+
+    noise_size = options.noise_size
+    return TrainOptions(
+        ns_samples=ns, ninit=n_init, nopts=max(nopts, 0 if ns > 0 else 1),
+        thin=thin, burnin=burnin, n_chains=options.n_gp_chains,
+        widths=widths, lbfgs_iters=options.lbfgs_iters,
+        hpd_frac=options.hpd_frac, tol_gp_noise=options.tol_gp_noise,
+        noise_size=noise_size,
+        length_prior_mean_mult=options.evalopt("gp_length_prior_mean",
+                                               options.D),
+        length_prior_std=options.gp_length_prior_std,
+        quadratic_mean_bound=options.gp_quadratic_mean_bound,
+        tol_sd=options.tol_sd, uncertainty_level=uncertainty_level,
+        upper_length_factor=options.upper_gp_length_factor)
+
+
+def _update_hyp_runcov(state: st.OptimState, hyp_full: np.ndarray,
+                       options: ResolvedOptions):
+    """Running average of hyperparameter covariance
+    (`gptrain_vbmc.m:82-94`)."""
+    if hyp_full is None or hyp_full.shape[0] <= 1:
+        state.hyp_runcov = None
+        return
+    hypcov = np.cov(hyp_full.T)
+    if state.hyp_runcov is None or options.hyp_run_weight == 0:
+        state.hyp_runcov = hypcov
+    else:
+        w = options.hyp_run_weight ** options.fun_evals_per_iter
+        state.hyp_runcov = (1 - w) * hypcov + w * state.hyp_runcov
+
+
+def _estimate_sn2hpd(cfg: GPConfig, gp, logger) -> float:
+    """GP noise around the top HPD region (`gptrain_vbmc.m:347-377`)."""
+    X, y, _ = logger.training_data()
+    n_hpd = max(int(math.ceil(0.2 * X.shape[0])), 1)
+    order = np.argsort(y)[::-1][:n_hpd]
+    sn2 = np.asarray(gp.sn2)        # (S, N_max)
+    m = np.asarray(gp.hyp_mask, float)
+    sn2_mean = (sn2 * m[:, None]).sum(0) / max(m.sum(), 1.0)
+    sel = np.where(np.asarray(gp.mask, bool))[0]
+    if sel.size == 0:
+        return float("inf")
+    vals = sn2_mean[sel]
+    order_idx = np.argsort(np.asarray(gp.y)[sel])[::-1][:n_hpd]
+    return float(np.median(vals[order_idx]))
+
+
+def _lcbmax_from_gp(cfg, gp, logger, options) -> float:
+    X, y, _ = logger.training_data()
+    fbar, vtot, _, _ = gp_predict(cfg, gp, jnp.asarray(X, dtype=gp.X.dtype))
+    lcb = np.asarray(fbar) - options.elcbo_impro_weight * \
+        np.sqrt(np.maximum(np.asarray(vtot), 0.0))
+    return float(np.max(lcb))
+
+
+def _recompute_lcbmax(cfg, gp, logger, stats: st.Stats, options) -> np.ndarray:
+    """Recompute the historical max-LCB trace using the *current* GP
+    (cf. `vbmc.m:816`, recompute_lcbmax)."""
+    n = logger.Xn
+    X = logger.X[:n]
+    fbar, vtot, _, _ = gp_predict(cfg, gp, jnp.asarray(X, dtype=gp.X.dtype))
+    lcb = np.asarray(fbar) - options.elcbo_impro_weight * \
+        np.sqrt(np.maximum(np.asarray(vtot), 0.0))
+    active = logger.X_flag[:n]
+    lcb = np.where(active, lcb, -np.inf)
+    out = np.empty(len(stats))
+    for i, itstat in enumerate(stats.iterations):
+        upto = min(int(itstat.func_count), n)
+        out[i] = np.max(lcb[:upto]) if upto > 0 else -np.inf
+    return out
+
+
+def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
+         options: Optional[VBMCOptions] = None) -> VBMCResult:
+    """Run full VBMC inference on a black-box log-joint ``fun``.
+
+    Mirrors the reference public API `vbmc.m:1-155`: returns a variational
+    posterior, the ELBO and its uncertainty, plus diagnostics.
+    """
+    t0 = time.monotonic()
+    if options is None:
+        options = VBMCOptions()
+
+    # Warm start from a previous variational posterior.
+    x0_from_vp = None
+    if is_valid_vp(x0):
+        vp0_init = x0
+        key_init = jax.random.PRNGKey(options.seed + 77)
+        Xvp = np.asarray(vp_rnd(vp0_init, key_init, 100, orig_flag=True))
+        x0 = Xvp[:1]
+        if plb is None or pub is None:
+            plb = np.quantile(Xvp, 0.05, axis=0)
+            pub = np.quantile(Xvp, 0.95, axis=0)
+        x0_from_vp = Xvp
+
+    if x0 is not None:
+        x0 = np.atleast_2d(np.asarray(x0, float))
+        D = x0.shape[1]
+    elif plb is not None:
+        D = np.asarray(plb).ravel().shape[0]
+        x0 = None
+    else:
+        raise ValueError("Provide x0, or plausible bounds PLB and PUB.")
+
+    opt = options.resolve(D)
+    x0, lb, ub, plb, pub = bounds_check(x0, lb, ub, plb, pub, D)
+    if x0 is None or not np.all(np.isfinite(x0)):
+        x0 = 0.5 * (plb + pub)[None, :]
+
+    if x0_from_vp is not None:
+        extra = np.clip(x0_from_vp[1:opt.fun_eval_start],
+                        np.where(np.isfinite(lb), lb, -np.inf),
+                        np.where(np.isfinite(ub), ub, np.inf))
+        x0 = np.concatenate([x0, extra], axis=0)
+
+    # Transform setup.
+    trinfo = create_trinfo(lb, ub, plb, pub,
+                           bounded_type=_TRANSFORM_IDS[opt.bounded_transform])
+    plb_t = np.asarray(direct(trinfo, jnp.asarray(plb)[None, :]))[0]
+    pub_t = np.asarray(direct(trinfo, jnp.asarray(pub)[None, :]))[0]
+    lb_t = np.asarray(direct(trinfo, jnp.asarray(lb)[None, :]))[0]
+    ub_t = np.asarray(direct(trinfo, jnp.asarray(ub)[None, :]))[0]
+
+    uncertainty_level = (2 if opt.specify_target_noise
+                         else (1 if opt.uncertainty_handling else 0))
+    logger = FunctionLogger(fun, D, trinfo,
+                            uncertainty_level=uncertainty_level,
+                            cache_size=opt.cache_size,
+                            temperature=opt.temperature)
+    cfg = GPConfig(
+        D=D, meanfun=_MEANFUN_IDS[opt.gp_mean_fun],
+        const_noise=1,
+        user_noise={0: 0, 1: 2, 2: 1}[uncertainty_level]
+        if not opt.noise_shaping else max(
+            {0: 0, 1: 2, 2: 1}[uncertainty_level], 1),
+        output_noise=0)
+
+    # Initial variational posterior: K_warmup comps at x0 (+tiny jitter).
+    rng = np.random.default_rng(opt.seed)
+    K = opt.k_warmup
+    u0 = np.asarray(direct(trinfo, jnp.asarray(x0[:1])))[0]
+    mu_init = np.tile(u0, (K, 1)) + 1e-6 * rng.standard_normal((K, D))
+    vp = make_vp(trinfo, mu_init, sigma=1e-3, lam=np.ones(D),
+                 k_max=bucket_k(K))
+
+    state = st.OptimState(warmup=opt.warmup, vp_K=K,
+                          entropy_switch=(opt.entropy_switch
+                                          and D >= opt.det_entropy_min_d))
+    if opt.ns_gp_max <= 0:
+        state.stop_sampling = math.inf
+    stats = st.Stats()
+    sb = SearchBounds.init(plb_t, pub_t, lb_t, ub_t, opt.active_search_bound)
+
+    key = jax.random.PRNGKey(opt.seed)
+    gp = None
+    hyp_warm = None
+    acq_names = tuple(opt.search_acq_fcn)
+    timers = dict(active_sampling=0.0, gp_train=0.0, variational_fit=0.0,
+                  finalize=0.0)
+    is_finished = False
+    exitflag = 0
+    msg = ""
+    elbo = elbo_sd = float("nan")
+    display = opt.display in ("iter",)
+
+    if display:
+        mode = "NOISY" if uncertainty_level else "EXACT"
+        print(f"Beginning variational optimization assuming {mode} "
+              f"observations of the log-joint.")
+        print(" Iteration  f-count     Mean[ELBO]     Std[ELBO]     "
+              "sKL-iter[q]   K[q]  Convergence  Action")
+
+    while not is_finished:
+        it = len(stats) + 1
+        state.iter = it
+        vp_old = vp
+        notes = []
+        if it == 1 and state.warmup:
+            notes.append("start warm-up")
+
+        # Entropy force switch (vbmc.m:523-528).
+        if (state.entropy_switch and logger.func_count
+                >= opt.entropy_force_switch * opt.max_fun_evals):
+            state.entropy_switch = False
+            notes.append("entropy switch")
+
+        # ------------------------------------- input warping (vbmc.m:530-625)
+        warp_delay = opt.warp_every_iters * max(1, state.warping_count) \
+            if opt.incremental_warp_delay else opt.warp_every_iters
+        do_warp = (opt.warp_roto_scaling and it > 1 and not state.warmup
+                   and gp is not None and D > 1
+                   and (it - state.last_warping) > warp_delay
+                   and state.vp_K >= opt.warp_min_k
+                   and stats.last.rindex < opt.warp_tol_reliability)
+        if do_warp:
+            from vbmc_tpu import warp as warp_mod
+            idx_b = st.best_iteration(stats, safe_sd=opt.best_safe_sd,
+                                      frac_back=opt.best_frac_back,
+                                      rank_criterion=opt.rank_criterion)
+            vp_for_warp = stats.iterations[idx_b].vp
+
+            snapshot = dict(
+                vp=vp, gp=gp, trinfo=logger.trinfo, plb_t=plb_t.copy(),
+                pub_t=pub_t.copy(), sb_lb=sb.lb.copy(), sb_ub=sb.ub.copy(),
+                sb_lbh=sb.lb_hard.copy(), sb_ubh=sb.ub_hard.copy(),
+                hyp_warm=hyp_warm, hyp_runcov=state.hyp_runcov,
+                run_mean=state.run_mean, run_cov=state.run_cov,
+                elbo=elbo, elbo_sd=elbo_sd,
+                recompute=state.recompute_var_post)
+
+            trinfo_new = warp_mod.compute_rotoscale(
+                vp_for_warp, corr_thresh=opt.warp_roto_corr_thresh,
+                cov_reg=opt.warp_cov_reg)
+            key, k_w = jax.random.split(key)
+            plb_t, pub_t = warp_mod.update_plausible_bounds(
+                trinfo_new, plb, pub, k_w)
+            lb_t_new = np.asarray(direct(trinfo_new, jnp.asarray(lb)[None, :]))[0]
+            ub_t_new = np.asarray(direct(trinfo_new, jnp.asarray(ub)[None, :]))[0]
+            logger.retransform(trinfo_new)
+            vp, hyp_warped = warp_mod.warp_gp_and_vp(
+                trinfo_new, vp, gp, cfg, temperature=opt.temperature)
+            sb = SearchBounds.init(plb_t, pub_t, lb_t_new, ub_t_new,
+                                   opt.active_search_bound)
+            hyp_warm = hyp_warped
+            state.hyp_runcov = None
+            state.run_mean = None
+            state.run_cov = None
+            state.warping_count += 1
+            state.last_warping = it
+            state.last_successful_warping = it
+            notes.append("rotoscale")
+
+            if opt.warp_undo_check:
+                # Retrain GP and refit VP in the warped space; undo if the
+                # ELBO regresses (vbmc.m:566-624).
+                key, k_gp2, k_vp2 = jax.random.split(key, 3)
+                topts = _gp_train_options(state, stats, opt, logger,
+                                          uncertainty_level)
+                X_tr, y_tr, s2_tr = logger.training_data(
+                    noise_shaping=_noise_shaping if opt.noise_shaping else None,
+                    options=opt)
+                gp, gpinfo_w = train_gp(k_gp2, cfg, X_tr, y_tr, s2_tr,
+                                        plb_t, pub_t, topts, hyp0=hyp_warped)
+                n_fast_w = int(math.ceil(opt.evalopt("ns_elbo", state.vp_K)))
+                res_w = vpoptimize(k_vp2, cfg, vp, gp, state.vp_K, opt,
+                                   warmup=state.warmup,
+                                   entropy_switch=state.entropy_switch,
+                                   n_fast_opts=n_fast_w,
+                                   n_slow_opts=opt.elbo_starts)
+                elbo_w, elbo_sd_w = res_w.elbo, res_w.elbo_sd
+                fail = (elbo_w < snapshot["elbo"] + opt.warp_tol_improvement
+                        or elbo_sd_w > (snapshot["elbo_sd"]
+                                        * opt.warp_tol_sd_multiplier
+                                        + opt.warp_tol_sd_base))
+                if fail:
+                    vp = snapshot["vp"]
+                    gp = snapshot["gp"]
+                    logger.retransform(snapshot["trinfo"])
+                    plb_t, pub_t = snapshot["plb_t"], snapshot["pub_t"]
+                    sb = SearchBounds(lb=snapshot["sb_lb"],
+                                      ub=snapshot["sb_ub"],
+                                      lb_hard=snapshot["sb_lbh"],
+                                      ub_hard=snapshot["sb_ubh"])
+                    hyp_warm = snapshot["hyp_warm"]
+                    state.hyp_runcov = snapshot["hyp_runcov"]
+                    state.run_mean = snapshot["run_mean"]
+                    state.run_cov = snapshot["run_cov"]
+                    state.last_successful_warping = -math.inf
+                    state.warping_count += 1  # failed warp counts twice
+                    notes.append("undo")
+                else:
+                    vp = res_w.vp
+                    state.vp_K = int(np.sum(np.asarray(vp.kmask)))
+                    hyp_warm = gpinfo_w["hyp_full"]
+                    state.recompute_var_post = True
+
+        # ------------------------------------------------ active sampling
+        t = time.monotonic()
+        key, k_as = jax.random.split(key)
+        if state.skip_active_sampling:
+            state.skip_active_sampling = False
+        elif gp is None:
+            initial_design(k_as, logger, opt.fun_eval_start, plb_t, pub_t,
+                           x0_cache=np.asarray(direct(
+                               trinfo, jnp.asarray(x0))),
+                           fvals_cache=np.asarray(opt.fvals, float)
+                           if opt.fvals is not None else None)
+        else:
+            acq_name = acq_names[int(rng.integers(len(acq_names)))]
+            acq_name = _canonical_acq(acq_name)
+            ais = None
+            vlj = None
+            if acq_name in ("viqr", "imiqr"):
+                from vbmc_tpu.active_is import build_is_state
+                key, k_is = jax.random.split(key)
+                ais = build_is_state(k_is, cfg, acq_name, vp, gp, opt)
+            gp = active_sample(k_as, cfg, logger, opt.fun_evals_per_iter,
+                               vp, gp, sb, opt, acq_name=acq_name,
+                               tol_gp_var=opt.tol_gp_var,
+                               active_is_state=ais, var_log_joint=vlj)
+        timers["active_sampling"] += time.monotonic() - t
+
+        # ------------------------------------------------------ GP training
+        t = time.monotonic()
+        key, k_gp = jax.random.split(key)
+        topts = _gp_train_options(state, stats, opt, logger,
+                                  uncertainty_level)
+        X_tr, y_tr, s2_tr = logger.training_data(
+            noise_shaping=_noise_shaping if opt.noise_shaping else None,
+            options=opt)
+        # Warm-start hyperparameters from previous iterations
+        # (`gptrain_vbmc.m:36-50`).
+        hyp0 = _collect_hyp_starts(stats, hyp_warm, topts.ninit)
+        gp, gpinfo = train_gp(k_gp, cfg, X_tr, y_tr, s2_tr, plb_t, pub_t,
+                              topts, hyp0=hyp0)
+        hyp_warm = gpinfo["hyp_full"]
+        _update_hyp_runcov(state, gpinfo["hyp_full"], opt)
+        state.sn2hpd = _estimate_sn2hpd(cfg, gp, logger)
+        timers["gp_train"] += time.monotonic() - t
+
+        # ------------------------------------------- variational optimization
+        t = time.monotonic()
+        K_new = st.update_K(state, stats, opt)
+        n_fast = int(math.ceil(opt.evalopt("ns_elbo", K_new)))
+        if state.recompute_var_post or opt.always_refit_var_post:
+            n_slow = opt.elbo_starts
+            state.recompute_var_post = False
+        else:
+            n_fast = int(math.ceil(n_fast * opt.ns_elbo_incr))
+            n_slow = 1
+        key, k_vp = jax.random.split(key)
+        res = vpoptimize(k_vp, cfg, vp, gp, K_new, opt,
+                         warmup=state.warmup,
+                         entropy_switch=state.entropy_switch,
+                         n_fast_opts=n_fast, n_slow_opts=n_slow)
+        vp = res.vp
+        state.vp_K = int(np.sum(np.asarray(vp.kmask)))
+        elbo, elbo_sd = res.elbo, res.elbo_sd
+        timers["variational_fit"] += time.monotonic() - t
+
+        # ------------------------------------------------------- finalize
+        t = time.monotonic()
+        key, k_kl = jax.random.split(key)
+        sKL = max(0.0, 0.5 * float(np.sum(np.asarray(
+            vp_kldiv(vp, vp_old, n_samples=10 ** 5,
+                     gauss_flag=opt.kl_gauss, key=k_kl)))))
+        lcbmax = _lcbmax_from_gp(cfg, gp, logger, opt)
+
+        sKL_true = None
+        if opt.true_mean is not None and opt.true_cov is not None:
+            key, k_mom = jax.random.split(key)
+            mu_o, cov_o = vp_moments(vp, orig_flag=True, n_samples=10 ** 5,
+                                     key=k_mom)
+            kl1, kl2 = mvn_kl(np.asarray(mu_o), np.asarray(cov_o),
+                              np.asarray(opt.true_mean, float),
+                              np.asarray(opt.true_cov, float))
+            sKL_true = 0.5 * float(kl1 + kl2)
+
+        # Running moments (vbmc.m:779-793).
+        mu_t, cov_t = vp_moments(vp, orig_flag=False)
+        mu_t, cov_t = np.asarray(mu_t), np.asarray(cov_t)
+        if state.run_mean is None:
+            state.run_mean, state.run_cov = mu_t, cov_t
+            state.last_run_avg = logger.n_train
+        else:
+            n_new = logger.n_train - state.last_run_avg
+            w_run = opt.moments_run_weight ** n_new
+            state.run_mean = w_run * state.run_mean + (1 - w_run) * mu_t
+            state.run_cov = w_run * state.run_cov + (1 - w_run) * cov_t
+            state.last_run_avg = logger.n_train
+        timers["finalize"] += time.monotonic() - t
+
+        stats.add(st.IterStats(
+            iter=it, elbo=elbo, elbo_sd=elbo_sd, sKL=sKL, sKL_true=sKL_true,
+            K=state.vp_K, N=logger.n_train, neff=logger.neff,
+            func_count=logger.func_count, warmup=state.warmup,
+            pruned=res.pruned, varss=res.varss, lcbmax=lcbmax, vp=vp,
+            gp_hyp=np.asarray(gp.hyp)[np.asarray(gp.hyp_mask, bool)],
+            gp_hyp_full=gpinfo["hyp_full"], gp_ns=gpinfo["ns_samples"]))
+
+        # -------------------------------------------- termination & warmup
+        is_finished, exitflag, msg, t_notes = st.check_termination(
+            state, stats, opt, logger.func_count)
+        notes += t_notes
+
+        if state.warmup and it > 1:
+            if opt.recompute_lcb_max:
+                state.lcbmax_vec = _recompute_lcbmax(cfg, gp, logger, stats,
+                                                     opt)
+            w_notes, trim_flag = st.check_warmup(state, stats, opt, logger)
+            notes += w_notes
+            if trim_flag:
+                gp = gp_reupdate(cfg, gp, logger)
+            if not state.warmup:
+                state.hyp_runcov = None
+        stats.last.warmup = state.warmup
+
+        if display:
+            print(f" {it:9d} {logger.func_count:8d} {elbo:14.2f} "
+                  f"{elbo_sd:13.2f} {sKL:15.2f} {state.vp_K:6d} "
+                  f"{state.R:12.3g}     {', '.join(notes)}")
+
+    # ---------------------------------------------------------- finalize run
+    idx_best = st.best_iteration(stats, safe_sd=opt.best_safe_sd,
+                                 frac_back=opt.best_frac_back,
+                                 rank_criterion=opt.rank_criterion)
+    vp_best = stats.iterations[idx_best].vp
+    elbo = stats.iterations[idx_best].elbo
+    elbo_sd = stats.iterations[idx_best].elbo_sd
+
+    # Final boost to MinFinalComponents (cf. `misc/finalboost_vbmc.m`).
+    vp_train = vp_best
+    K_best = int(np.sum(np.asarray(vp_best.kmask)))
+    K_boost = max(opt.min_final_components, K_best)
+    if K_best < K_boost:
+        key, k_boost = jax.random.split(key)
+        n_fast = int(math.ceil(opt.evalopt("ns_elbo", K_boost)
+                               * opt.ns_elbo_incr))
+        # Rebuild the GP of the best iteration for the boost.
+        res_boost = vpoptimize(
+            k_boost, cfg, vp_best, gp, K_boost, opt, warmup=False,
+            entropy_switch=state.entropy_switch, n_fast_opts=n_fast,
+            n_slow_opts=1, n_ent=opt.evalopt("ns_ent_boost", K_boost),
+            n_ent_fine=opt.evalopt("ns_ent_fine_boost", K_boost),
+            prune=False)
+        vp = res_boost.vp
+        elbo, elbo_sd = res_boost.elbo, res_boost.elbo_sd
+    else:
+        vp = vp_best
+
+    stable = stats.iterations[idx_best].stable
+    convergence = "probable" if stable else "no"
+    if exitflag == 0 and not stable:
+        msg = msg or ("Inference terminated without reaching stability; "
+                      "examine the run diagnostics.")
+    if display:
+        print(msg)
+
+    timers["total"] = time.monotonic() - t0
+    return VBMCResult(
+        vp=vp, elbo=float(elbo), elbo_sd=float(elbo_sd), exitflag=exitflag,
+        message=msg, stats=stats, optim_state=state, logger=logger,
+        vp_train=vp_train, func_count=logger.func_count,
+        iterations=len(stats), convergence_status=convergence,
+        idx_best=idx_best, timers=timers)
+
+
+def _canonical_acq(name: str) -> str:
+    aliases = {"acqf": "prospective", "prospective": "prospective",
+               "acqfsn2": "prospective_sn2", "prospective_sn2": "prospective_sn2",
+               "acqflog": "prospective_log", "prospective_log": "prospective_log",
+               "us": "us", "acqus": "us", "eig": "eig", "acqeig": "eig",
+               "viqr": "viqr", "acqviqr": "viqr",
+               "imiqr": "imiqr", "acqimiqr": "imiqr"}
+    return aliases[name]
+
+
+def _collect_hyp_starts(stats: st.Stats, hyp_warm, ninit: int):
+    """Recycle hyperparameter samples from the most recent iterations."""
+    pool = []
+    if hyp_warm is not None:
+        pool.append(np.atleast_2d(hyp_warm))
+    if len(stats):
+        for itstat in stats.iterations[len(stats) // 2:]:
+            if itstat.gp_hyp is not None:
+                pool.append(np.atleast_2d(itstat.gp_hyp))
+    if not pool:
+        return None
+    cat = np.concatenate(pool, axis=0)
+    n_keep = max(int(ninit // 2), 4)
+    if cat.shape[0] > n_keep:
+        idx = np.random.default_rng(0).permutation(cat.shape[0])[:n_keep]
+        cat = cat[idx]
+    return np.unique(cat, axis=0)
+
+
+def _noise_shaping(s2, y, options):
+    """Add artificial noise to low-density observations
+    (cf. `misc/noiseshaping_vbmc.m`)."""
+    if s2 is None:
+        s2 = np.full(y.shape, options.tol_gp_noise ** 2)
+    ydelta = np.maximum(0.0, np.max(y) - y - options.noise_shaping_threshold)
+    return s2 + (options.noise_shaping_factor * ydelta) ** 2

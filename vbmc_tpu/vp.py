@@ -105,7 +105,7 @@ def vp_log_pdf_trans(vp: VariationalPosterior, X: jnp.ndarray,
                 - 0.5 * (df + D) * jnp.log1p(z2 / df))
     else:
         comp = -0.5 * D * _LOG2PI + log_norm[:, None] - 0.5 * z2
-    logw = jnp.where(vp.kmask, jnp.log(jnp.maximum(vp.w, 1e-300)),
+    logw = jnp.where(vp.kmask, jnp.log(jnp.maximum(vp.w, jnp.finfo(vp.mu.dtype).tiny)),
                      -jnp.inf)
     return jax.scipy.special.logsumexp(comp + logw[:, None], axis=0)
 
@@ -128,7 +128,7 @@ def vp_rnd(vp: VariationalPosterior, key, N: int, orig_flag: bool = True,
     """Draw N samples (`vbmc_rnd.m`). Balanced mode assigns samples to
     components proportionally (lower variance for moment estimates)."""
     k_cat, k_eps, k_chi, k_perm = jax.random.split(key, 4)
-    logw = jnp.where(vp.kmask, jnp.log(jnp.maximum(vp.w, 1e-300)), -jnp.inf)
+    logw = jnp.where(vp.kmask, jnp.log(jnp.maximum(vp.w, jnp.finfo(vp.mu.dtype).tiny)), -jnp.inf)
     if balance_flag:
         # Proportional allocation with randomized remainder, via sorted
         # repeated index trick (static shapes).
