@@ -200,18 +200,37 @@ def _geomean_length_scale(cfg: GPConfig, gp: GP) -> np.ndarray:
 def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                   vp: VariationalPosterior, gp: Optional[GP],
                   sb: SearchBounds, options, *, acq_name: str,
-                  tol_gp_var: float, active_is_state=None,
-                  var_log_joint=None) -> Optional[GP]:
+                  tol_gp_var: float, var_log_joint=None) -> Optional[GP]:
     """Acquire ``n_points`` new evaluations; returns the (posterior-updated)
     GP. ``gp`` must be trained (call `initial_design` when there is none)."""
     D = vp.D
     dtype = gp.X.dtype
+    use_is = ACQ_INFO[acq_name]["importance_sampling"]
 
     from vbmc_tpu.transforms import direct
     lb_eps, ub_eps = _hard_bound_eps(logger, options)
 
     for i in range(n_points):
-        key, k_search, k_cma = jax.random.split(key, 3)
+        key, k_search, k_cma, k_is = jax.random.split(key, 4)
+
+        # Importance-sampling state is rebuilt per point: the GP posterior
+        # changes as evaluations accrue (`activesample_vbmc.m:208-211`).
+        if use_is:
+            from vbmc_tpu.active_is import build_is_state
+            active_is_state = build_is_state(k_is, cfg, acq_name, vp, gp,
+                                             options)
+        else:
+            active_is_state = None
+
+        # EIG needs the per-sample variance of the log-joint integral,
+        # recomputed as the GP updates (`activesample_vbmc.m:152-157`).
+        if acq_name == "eig":
+            from vbmc_tpu.elbo import gplogjoint
+            _, _, _, _, J = gplogjoint(cfg, gp, vp.mu, vp.sigma, vp.lam,
+                                       vp.w, vp.kmask, compute_var=1)
+            wk = vp.w * vp.kmask.astype(vp.w.dtype)
+            var_log_joint = jnp.maximum(
+                jnp.einsum("j,sjk,k->s", wk, J, wk), 1e-12)
         state = AcqState(
             ymax=jnp.asarray(logger.ymax, dtype=dtype),
             tol_var=jnp.asarray(tol_gp_var, dtype=dtype),

@@ -312,6 +312,20 @@ def entropy_mc(key, mu, sigma, lam, w, kmask, n_per_k: int):
     return H
 
 
+def entropy_upper_bound(mu, sigma, lam, w, kmask):
+    """Gaussian moment-matching upper bound on the mixture entropy
+    (cf. `ent/entub_vbmc.m`): the entropy of a Gaussian with the mixture's
+    covariance upper-bounds the mixture entropy."""
+    D = mu.shape[1]
+    wk = w * kmask.astype(w.dtype)
+    mean = jnp.sum(wk[:, None] * mu, axis=0)
+    dmu = mu - mean
+    cov = (dmu * wk[:, None]).T @ dmu
+    cov = cov + jnp.diag(jnp.sum(wk * sigma ** 2) * lam ** 2)
+    sign, logdet = jnp.linalg.slogdet(cov)
+    return 0.5 * D * (1.0 + _LOG2PI) + 0.5 * logdet
+
+
 # ----------------------------------------------------------------------
 # Soft bounds on variational parameters
 # ----------------------------------------------------------------------

@@ -259,10 +259,17 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
 
     widths_default = np.maximum(pub_np - plb_np, 1e-3)
     if opts.ninit > 0:
-        n_design = int(opts.ninit)
+        # Bucket the design size to a power of two (the cubic 1024->64
+        # schedule would otherwise trigger a recompile every iteration).
+        n_design = 64
+        while n_design < int(opts.ninit):
+            n_design *= 2
         u = np.asarray(jax.random.uniform(k_design, (n_design, nh)))
         design = plb_np + u * (pub_np - plb_np)
-        design = np.concatenate([starts, design], axis=0)
+        # Warm starts overwrite the head of the design (fixed total size so
+        # the vmapped evaluation compiles once per bucket).
+        n_s = min(starts.shape[0], n_design // 2)
+        design[:n_s] = starts[:n_s]
         nll = np.asarray(_eval_design(cfg, jnp.asarray(design, dtype=dtype),
                                       prior, Xp, yp, s2p, mask))
         nll = np.where(np.isfinite(nll), nll, np.inf)
@@ -271,8 +278,15 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         top = design[order[:max(3 * opts.nopts, 10)]]
         widths_default = np.maximum(top.std(axis=0, ddof=1), 1e-3)
     else:
-        nll = np.asarray(_eval_design(cfg, jnp.asarray(starts, dtype=dtype),
-                                      prior, Xp, yp, s2p, mask))
+        # Pad the start set to a fixed size (repeat last row) to avoid
+        # per-call recompiles of the vmapped evaluator.
+        n_pad = 8
+        while n_pad < starts.shape[0]:
+            n_pad *= 2
+        starts_p = np.concatenate(
+            [starts, np.tile(starts[-1:], (n_pad - starts.shape[0], 1))])
+        nll = np.asarray(_eval_design(cfg, jnp.asarray(starts_p, dtype=dtype),
+                                      prior, Xp, yp, s2p, mask))[:starts.shape[0]]
         order = np.argsort(np.where(np.isfinite(nll), nll, np.inf))
         x0s = starts[order[:max(opts.nopts, 1)]]
 

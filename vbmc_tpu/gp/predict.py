@@ -27,6 +27,17 @@ def gp_predict_full(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray):
     return fmu, fs2
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "add_noise"))
+def gp_predict_jit(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray,
+                   add_noise: bool = False):
+    """Jitted predictive summary; pad Xstar to a bucketed size to bound the
+    number of compiled variants."""
+    return gp_predict(cfg, gp, Xstar, add_noise=add_noise)
+
+
 def gp_predict(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray,
                add_noise: bool = False):
     """Moment-matched predictive summary across hyperparameter samples.

@@ -1,0 +1,85 @@
+"""Bayesian quadrature of the GP against Gaussian smoothing kernels
+(cf. `gplite/gplite_quad.m`): closed-form E[f] and Var[f] under
+N(x*, diag(delta^2)) for the SE-ard kernel with zero/const/negquad/SE means.
+Used for acquisition smoothing when options.bandwidth > 0."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve
+
+from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
+                                MEAN_NEGQUAD, MEAN_SE)
+from vbmc_tpu.gp.gp import GP
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_var"))
+def gp_quad(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray, delta: jnp.ndarray,
+            compute_var: bool = True):
+    """Per-hyp-sample quadrature mean/variance at smoothing kernels centered
+    on rows of Xstar with per-dim SD delta (D,).
+
+    Returns (fmu (S, M), fs2 (S, M) or None).
+    """
+    D = cfg.D
+    M = Xstar.shape[0]
+    dtype = Xstar.dtype
+    log_ell = gp.hyp[:, :D]                           # (S, D)
+    ell2 = jnp.exp(2.0 * log_ell)
+    ln_sf2 = 2.0 * gp.hyp[:, D]
+    sum_lnell = jnp.sum(log_ell, axis=-1)
+
+    d2 = delta ** 2                                    # (D,)
+    tau2 = d2[None, :] + ell2                          # (S, D)
+    lnnf = ln_sf2 + sum_lnell - 0.5 * jnp.sum(jnp.log(tau2), -1)  # (S,)
+
+    inv_tau2 = 1.0 / tau2                              # (S, D)
+    X = gp.X                                           # (N, D)
+    x2_star = jnp.einsum("sd,md->sm", inv_tau2, Xstar * Xstar)
+    x2_train = jnp.einsum("sd,nd->sn", inv_tau2, X * X)
+    cross = jnp.einsum("md,sd,nd->smn", Xstar, inv_tau2, X)
+    quad = x2_star[:, :, None] - 2.0 * cross + x2_train[:, None, :]
+    z = jnp.exp(lnnf[:, None, None] - 0.5 * quad)      # (S, M, N)
+    z = z * gp.mask.astype(dtype)[None, None, :]
+
+    fmu = jnp.einsum("smn,sn->sm", z, gp.alpha)
+
+    hyp_mean = gp.hyp[:, cfg.sl_mean]
+    if cfg.meanfun == MEAN_CONST:
+        fmu = fmu + hyp_mean[:, 0][:, None]
+    elif cfg.meanfun == MEAN_NEGQUAD:
+        xm = hyp_mean[:, 1:D + 1]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+        q = ((Xstar[None, :, :] - xm[:, None, :]) ** 2
+             + d2[None, None, :]) / omega2[:, None, :]
+        fmu = fmu + hyp_mean[:, 0][:, None] - 0.5 * jnp.sum(q, -1)
+    elif cfg.meanfun == MEAN_SE:
+        xm = hyp_mean[:, 1:D + 1]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+        h = jnp.exp(hyp_mean[:, 2 * D + 1])
+        t2 = d2[None, None, :] + omega2[:, None, :]
+        s2 = ((Xstar[None, :, :] - xm[:, None, :]) ** 2) / t2
+        lognf = 0.5 * jnp.sum(jnp.log(omega2[:, None, :]) - jnp.log(t2), -1)
+        fmu = fmu + hyp_mean[:, 0][:, None] + \
+            h[:, None] * jnp.exp(lognf - 0.5 * jnp.sum(s2, -1))
+    elif cfg.meanfun != MEAN_ZERO:
+        raise ValueError("gp_quad supports zero/const/negquad/se means")
+
+    if not compute_var:
+        return fmu, None
+
+    # Var: nf_kk - z B^{-1} z with tau_kk^2 = 2*delta^2 + ell^2.
+    tau2_kk = 2.0 * d2[None, :] + ell2
+    lnnf_kk = ln_sf2 + sum_lnell - 0.5 * jnp.sum(jnp.log(tau2_kk), -1)
+
+    def corr(L, zs):
+        U = cho_solve((L, True), zs.T)                 # (N, M)
+        return jnp.sum(zs.T * U, axis=0)               # (M,)
+
+    data = jax.vmap(corr)(gp.L, z)
+    fs2 = jnp.maximum(jnp.exp(lnnf_kk)[:, None] - data,
+                      jnp.finfo(dtype).eps)
+    return fmu, fs2

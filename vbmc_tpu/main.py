@@ -209,11 +209,23 @@ def _estimate_sn2hpd(cfg: GPConfig, gp, logger) -> float:
     return float(np.median(vals[order_idx]))
 
 
+def _predict_padded(cfg, gp, X: np.ndarray):
+    """GP predictive summary at host points, padded to a bucket so the
+    jitted kernel compiles a bounded number of variants."""
+    from vbmc_tpu.gp.predict import gp_predict_jit
+    from vbmc_tpu.utils.math import bucket_n, pad_to
+
+    n = X.shape[0]
+    nb = bucket_n(n)
+    Xp = jnp.asarray(pad_to(np.asarray(X, float), nb), dtype=gp.X.dtype)
+    fbar, vtot, _, _ = gp_predict_jit(cfg, gp, Xp)
+    return np.asarray(fbar)[:n], np.asarray(vtot)[:n]
+
+
 def _lcbmax_from_gp(cfg, gp, logger, options) -> float:
     X, y, _ = logger.training_data()
-    fbar, vtot, _, _ = gp_predict(cfg, gp, jnp.asarray(X, dtype=gp.X.dtype))
-    lcb = np.asarray(fbar) - options.elcbo_impro_weight * \
-        np.sqrt(np.maximum(np.asarray(vtot), 0.0))
+    fbar, vtot = _predict_padded(cfg, gp, X)
+    lcb = fbar - options.elcbo_impro_weight * np.sqrt(np.maximum(vtot, 0.0))
     return float(np.max(lcb))
 
 
@@ -222,9 +234,8 @@ def _recompute_lcbmax(cfg, gp, logger, stats: st.Stats, options) -> np.ndarray:
     (cf. `vbmc.m:816`, recompute_lcbmax)."""
     n = logger.Xn
     X = logger.X[:n]
-    fbar, vtot, _, _ = gp_predict(cfg, gp, jnp.asarray(X, dtype=gp.X.dtype))
-    lcb = np.asarray(fbar) - options.elcbo_impro_weight * \
-        np.sqrt(np.maximum(np.asarray(vtot), 0.0))
+    fbar, vtot = _predict_padded(cfg, gp, X)
+    lcb = fbar - options.elcbo_impro_weight * np.sqrt(np.maximum(vtot, 0.0))
     active = logger.X_flag[:n]
     lcb = np.where(active, lcb, -np.inf)
     out = np.empty(len(stats))
@@ -452,16 +463,9 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         else:
             acq_name = acq_names[int(rng.integers(len(acq_names)))]
             acq_name = _canonical_acq(acq_name)
-            ais = None
-            vlj = None
-            if acq_name in ("viqr", "imiqr"):
-                from vbmc_tpu.active_is import build_is_state
-                key, k_is = jax.random.split(key)
-                ais = build_is_state(k_is, cfg, acq_name, vp, gp, opt)
             gp = active_sample(k_as, cfg, logger, opt.fun_evals_per_iter,
                                vp, gp, sb, opt, acq_name=acq_name,
-                               tol_gp_var=opt.tol_gp_var,
-                               active_is_state=ais, var_log_joint=vlj)
+                               tol_gp_var=opt.tol_gp_var)
         timers["active_sampling"] += time.monotonic() - t
 
         # ------------------------------------------------------ GP training

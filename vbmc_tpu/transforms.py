@@ -229,3 +229,15 @@ def log_abs_det_jacobian(trinfo: Trinfo, y: jnp.ndarray) -> jnp.ndarray:
 def pdf_correction(trinfo: Trinfo, y: jnp.ndarray) -> jnp.ndarray:
     """|dx/dy| multiplier (the reference 'prob' action)."""
     return jnp.exp(log_abs_det_jacobian(trinfo, y))
+
+
+def real_to_int(trinfo: Trinfo, y: jnp.ndarray,
+                integer_mask: jnp.ndarray) -> jnp.ndarray:
+    """Round integer dimensions through the transform
+    (cf. `misc/real2int_vbmc.m`): map to original space, round the flagged
+    dims, map back."""
+    if integer_mask is None or not bool(np.any(np.asarray(integer_mask))):
+        return y
+    x = inverse(trinfo, y)
+    x = jnp.where(jnp.asarray(integer_mask)[None, :], jnp.round(x), x)
+    return direct(trinfo, x)

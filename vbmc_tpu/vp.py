@@ -152,6 +152,18 @@ def vp_rnd(vp: VariationalPosterior, key, N: int, orig_flag: bool = True,
     return X
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_samples",))
+def _moments_mc_jit(vp, key, n_samples: int):
+    X = vp_rnd(vp, key, n_samples, orig_flag=True, balance_flag=True)
+    mean = jnp.mean(X, axis=0)
+    Xc = X - mean
+    cov = (Xc.T @ Xc) / (X.shape[0] - 1)
+    return mean, cov
+
+
 def vp_moments(vp: VariationalPosterior, orig_flag: bool = True,
                n_samples: int = 10 ** 6, key=None):
     """Mean and covariance (`vbmc_moments.m`): analytic in transformed space,
@@ -165,11 +177,7 @@ def vp_moments(vp: VariationalPosterior, orig_flag: bool = True,
         return mean, cov
     if key is None:
         key = jax.random.PRNGKey(0)
-    X = vp_rnd(vp, key, n_samples, orig_flag=True, balance_flag=True)
-    mean = jnp.mean(X, axis=0)
-    Xc = X - mean
-    cov = (Xc.T @ Xc) / (X.shape[0] - 1)
-    return mean, cov
+    return _moments_mc_jit(vp, key, n_samples)
 
 
 def vp_mode(vp: VariationalPosterior, orig_flag: bool = True, key=None):

@@ -261,6 +261,20 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         w_c = np.concatenate([c[3] for c in cand])
         types = np.concatenate(types)
 
+        # Bucket the candidate count to a power of two (pad by repeating the
+        # first candidate) so the sieve kernel compiles O(log) variants.
+        n_c = mu_c.shape[0]
+        n_pad = 8
+        while n_pad < n_c:
+            n_pad *= 2
+        if n_pad > n_c:
+            reps = np.zeros(n_pad - n_c, dtype=int)
+            mu_c = np.concatenate([mu_c, mu_c[reps]])
+            sg_c = np.concatenate([sg_c, sg_c[reps]])
+            lam_c = np.concatenate([lam_c, lam_c[reps]])
+            w_c = np.concatenate([w_c, w_c[reps]])
+            types = np.concatenate([types, np.full(n_pad - n_c, 99)])
+
         kmask_np = np.arange(k_max) < K_new
         kmask = jnp.asarray(kmask_np)
         dtype = gp.X.dtype
@@ -436,6 +450,66 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         varss=float(st_cur["varss"]), varG=float(st_cur["varF"]),
         pruned=pruned, I_sk=np.asarray(st_cur["I_sk"]),
         J_sjk=np.asarray(st_cur["J_sjk"]))
+
+
+def vp_sample_theta(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
+                    n_samples: int, options, *, sampler: str = "mala",
+                    scale_lower_bound: bool = True):
+    """MCMC sampling of the variational parameters under the ELBO as a log
+    density (cf. `misc/vpsample_vbmc.m`; experimental
+    `active_variational_samples` path). Returns an updated VP drawn from the
+    chain end."""
+    from vbmc_tpu.samplers.mala import mala_sample
+    from vbmc_tpu.samplers.slice import slice_sample_chain
+
+    K_max = vp.k_max
+    D = vp.D
+    flags = eb.VPFlags(opt_mu=True, opt_sigma=True, opt_lambda=True,
+                       opt_weights=False)
+    theta0 = eb.pack_theta(flags, vp.mu, vp.sigma, vp.lam, vp.eta)
+    bnd = eb.compute_vp_bounds(gp, options, int(jnp.sum(vp.kmask)))
+
+    def logp(th):
+        F, _ = eb.negelcbo(cfg, th, gp, vp.mu, vp.sigma, vp.lam, vp.w,
+                           vp.kmask, flags, 0.0, 0, 0, key, bnd=bnd,
+                           use_bounds=True)
+        return -F
+
+    if sampler == "mala":
+        def lp_grad(th):
+            return jax.value_and_grad(logp)(th)
+        samples, _, _ = mala_sample(key, lp_grad, theta0, n_samples,
+                                    step0=0.01)
+        theta_new = samples[-1]
+    else:
+        n = theta0.shape[0]
+        widths = 0.1 * jnp.ones(n, dtype=theta0.dtype)
+        lo = jnp.full(n, -jnp.inf, dtype=theta0.dtype)
+        hi = jnp.full(n, jnp.inf, dtype=theta0.dtype)
+        buf, _ = slice_sample_chain(key, logp, theta0, widths, lo, hi,
+                                    jnp.asarray(n_samples), jnp.asarray(0),
+                                    jnp.asarray(1), max(n_samples, 1))
+        theta_new = buf[n_samples - 1]
+
+    mu, sigma, lam, w = eb.unpack_theta(flags, theta_new, K_max, D, vp.mu,
+                                        vp.sigma, vp.lam, vp.w, vp.kmask)
+    return vp._replace(mu=mu, sigma=sigma, lam=lam)
+
+
+def fractional_ess(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
+                   n_samples: int = 100) -> float:
+    """Fractional effective sample size of the VP against the GP posterior
+    mean density (cf. `misc/fess_vbmc.m`)."""
+    from vbmc_tpu.vp import vp_rnd, vp_log_pdf_trans
+    from vbmc_tpu.gp.predict import gp_predict
+
+    Xs = vp_rnd(vp, key, n_samples, orig_flag=False, balance_flag=True)
+    fbar, _, _, _ = gp_predict(cfg, gp, Xs)
+    logq = vp_log_pdf_trans(vp, Xs)
+    lnw = fbar - logq
+    lnw = lnw - jax.scipy.special.logsumexp(lnw)
+    ess = 1.0 / jnp.sum(jnp.exp(2.0 * lnw))
+    return float(ess / n_samples)
 
 
 # ----------------------------------------------------------------------
