@@ -504,6 +504,10 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         vp = res.vp
         state.vp_K = int(np.sum(np.asarray(vp.kmask)))
         elbo, elbo_sd = res.elbo, res.elbo_sd
+        if opt.temperature > 1:
+            from vbmc_tpu.vp import vp_train2real
+            _, elbo, elbo_sd = vp_train2real(vp, opt.temperature, elbo,
+                                             elbo_sd)
         timers["variational_fit"] += time.monotonic() - t
 
         # ------------------------------------------------------- finalize
@@ -603,6 +607,29 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                       "examine the run diagnostics.")
     if display:
         print(msg)
+
+    # Automatic retry from the best solution (cf. `vbmc.m:968-1009`).
+    if exitflag < 1 and opt.retry_max_fun_evals > 0:
+        if display:
+            print("Attempting a second inference run from the current "
+                  "posterior.")
+        retry_user = dataclasses.replace(
+            options, max_fun_evals=opt.retry_max_fun_evals,
+            retry_max_fun_evals=0, seed=opt.seed + 1)
+        try:
+            res2 = vbmc(fun, vp, lb, ub, None, None, options=retry_user)
+            if res2.exitflag >= 1 or (res2.elbo - opt.best_safe_sd
+                                      * res2.elbo_sd) > (elbo - opt.best_safe_sd
+                                                         * elbo_sd):
+                res2.timers["first_run"] = time.monotonic() - t0
+                return res2
+        except Exception as e:  # keep the first run's result on failure
+            if display:
+                print(f"Retry run failed ({e}); returning first result.")
+
+    if opt.temperature > 1:
+        from vbmc_tpu.vp import vp_train2real
+        vp, elbo, elbo_sd = vp_train2real(vp, opt.temperature, elbo, elbo_sd)
 
     timers["total"] = time.monotonic() - t0
     return VBMCResult(

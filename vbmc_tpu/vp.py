@@ -258,8 +258,19 @@ def vp_mtv(vp1: VariationalPosterior, vp2: VariationalPosterior,
     return jnp.asarray(mtv)
 
 
+def vp_train2real(vp: VariationalPosterior, temperature: int,
+                  elbo: float, elbo_sd: float):
+    """Convert a tempered training posterior to the real posterior
+    (cf. `misc/vptrain2real.m`): vp_real = vp^T with
+    elbo_real = T*elbo + lnZ_pow."""
+    if temperature is None or temperature == 1:
+        return vp, elbo, elbo_sd
+    vp_real, lnz_pow = vp_power(vp, n=temperature, return_lnz=True)
+    return vp_real, temperature * elbo + lnz_pow, temperature * elbo_sd
+
+
 def vp_power(vp: VariationalPosterior, n: int = 2,
-             cutoff: float = 1e-6) -> VariationalPosterior:
+             cutoff: float = 1e-6, return_lnz: bool = False):
     """Power posterior vp^n for tempering, n=2 (`vbmc_power.m`): the square
     of a Gaussian mixture is a K^2-component mixture (up to normalization)."""
     if n == 1:
@@ -291,12 +302,16 @@ def vp_power(vp: VariationalPosterior, n: int = 2,
             pairs_mu.append(mujk)
             pairs_sigma.append(np.sqrt(s2jk))
     pw = np.asarray(pairs_w)
+    lnz_pow = float(np.log(max(pw.sum(), 1e-300)))
     pw = pw / pw.sum()
     keep = pw > cutoff * pw.max()
     pw = pw[keep] / pw[keep].sum()
     pmu = np.asarray(pairs_mu)[keep]
     psigma = np.asarray(pairs_sigma)[keep]
-    return make_vp(vp.trinfo, pmu, psigma, lam, w=pw)
+    out = make_vp(vp.trinfo, pmu, psigma, lam, w=pw)
+    if return_lnz:
+        return out, lnz_pow
+    return out
 
 
 def is_valid_vp(obj) -> bool:
