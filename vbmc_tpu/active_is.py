@@ -40,11 +40,11 @@ def int_kernel(cfg: GPConfig, gp: GP, vp: VariationalPosterior,
                              vp.mu, vp.sigma, vp.lam)       # (S, K, M)
     Ez = jnp.einsum("k,skm->sm", wk, z_cand)
 
-    def corr(hyp, L, zb):
+    def corr(hyp, Binv, zb):
         ks = kernel_cross(cfg, hyp, gp.X, Xs) * gp.mask.astype(Xs.dtype)[:, None]
-        return (cho_solve((L, True), zb) @ ks)              # (M,)
+        return (Binv @ zb) @ ks                             # (M,)
 
-    correction = jax.vmap(corr)(gp.hyp, gp.L, zbar)
+    correction = jax.vmap(corr)(gp.hyp, gp.Binv, zbar)
     return Ez - correction
 
 
@@ -134,12 +134,12 @@ def build_is_state(key, cfg: GPConfig, acq_name: str,
         lnw, axis=1, keepdims=True)
 
     # Precompute B^{-1} k(X, Xa) per sample (ais:247-278).
-    def pre(hyp, L):
+    def pre(hyp, Binv):
         ks = kernel_cross(cfg, hyp, gp.X, Xa) * \
             gp.mask.astype(dtype)[:, None]
-        return cho_solve((L, True), ks)                # (N, Na)
+        return Binv @ ks                               # (N, Na)
 
-    invKzk = jax.vmap(pre)(gp.hyp, gp.L)
+    invKzk = jax.vmap(pre)(gp.hyp, gp.Binv)
     return ISState(Xa=Xa, ln_weights=lnw, invKzk=invKzk, f_s2=fs2)
 
 

@@ -35,6 +35,7 @@ _LOG2PI = 1.8378770664093453
 class Posterior(NamedTuple):
     alpha: jnp.ndarray   # (N,)  B^{-1} (y - m), zero on padded rows
     L: jnp.ndarray       # (N,N) lower Cholesky of masked B = K + diag(sn2)
+    Binv: jnp.ndarray    # (N,N) B^{-1} — hot paths become GEMMs on the MXU
     sn2: jnp.ndarray     # (N,)  per-point noise variance
     chol_ok: jnp.ndarray  # () bool — Cholesky succeeded without escalation
 
@@ -98,7 +99,14 @@ def build_posterior(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2, mask,
         L = jnp.linalg.cholesky(B)
         ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
     alpha = cho_solve((L, True), r) * m
-    return Posterior(alpha=alpha, L=L, sn2=sn2, chol_ok=ok)
+    # Explicit inverse: downstream quadratic forms (prediction variance,
+    # quadrature covariance, IS precomputes) become batched matmuls —
+    # MXU-shaped — instead of triangular solves. The Cholesky (with jitter
+    # escalation) keeps the factorization stable; the inverse is only used
+    # inside clamped quadratic forms.
+    eye = jnp.eye(B.shape[0], dtype=B.dtype)
+    Binv = cho_solve((L, True), eye)
+    return Posterior(alpha=alpha, L=L, Binv=Binv, sn2=sn2, chol_ok=ok)
 
 
 def neg_log_marginal_likelihood(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2,
@@ -158,12 +166,13 @@ def predict_one(cfg: GPConfig, hyp: jnp.ndarray, post: Posterior, X, y, mask,
                 Xstar):
     """Latent mean/variance at Xstar for one hyperparameter sample.
 
-    Returns (fmu (M,), fs2 (M,)).
+    GEMM-shaped: k(X,X*) products against the stored B^{-1} instead of
+    triangular solves. Returns (fmu (M,), fs2 (M,)).
     """
     m = mask.astype(X.dtype)
     ks = kernel_cross(cfg, hyp, X, Xstar) * m[:, None]     # (N, M)
     fmu = mean_function(cfg, hyp[cfg.sl_mean], Xstar) + ks.T @ post.alpha
-    V = solve_triangular(post.L, ks, lower=True)           # (N, M)
+    qf = jnp.sum(ks * (post.Binv @ ks), axis=0)            # (M,)
     kss = jnp.exp(2.0 * hyp[cfg.idx_log_sf])
-    fs2 = jnp.maximum(kss - jnp.sum(V * V, axis=0), 0.0)
+    fs2 = jnp.maximum(kss - qf, 0.0)
     return fmu, fs2

@@ -37,6 +37,7 @@ class GP(NamedTuple):
     hyp_mask: jnp.ndarray  # (S_max,) bool
     alpha: jnp.ndarray     # (S_max, N_max)
     L: jnp.ndarray         # (S_max, N_max, N_max)
+    Binv: jnp.ndarray      # (S_max, N_max, N_max) explicit inverse (GEMM paths)
     sn2: jnp.ndarray       # (S_max, N_max)
 
     @property
@@ -69,7 +70,7 @@ def build_gp(cfg: GPConfig, X, y, s2, mask, hyp_samples, hyp_mask) -> GP:
         lambda h: core.build_posterior(cfg, h, X, y, s2, mask, robust=True)
     )(hyp_samples)
     return GP(X=X, y=y, s2=s2, mask=mask, hyp=hyp_samples, hyp_mask=hyp_mask,
-              alpha=posts.alpha, L=posts.L, sn2=posts.sn2)
+              alpha=posts.alpha, L=posts.L, Binv=posts.Binv, sn2=posts.sn2)
 
 
 def gp_from_host(cfg: GPConfig, X: np.ndarray, y: np.ndarray,

@@ -75,11 +75,8 @@ def gp_quad(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray, delta: jnp.ndarray,
     tau2_kk = 2.0 * d2[None, :] + ell2
     lnnf_kk = ln_sf2 + sum_lnell - 0.5 * jnp.sum(jnp.log(tau2_kk), -1)
 
-    def corr(L, zs):
-        U = cho_solve((L, True), zs.T)                 # (N, M)
-        return jnp.sum(zs.T * U, axis=0)               # (M,)
-
-    data = jax.vmap(corr)(gp.L, z)
+    t_zb = jnp.einsum("smn,snk->smk", z, gp.Binv)
+    data = jnp.einsum("smn,smn->sm", t_zb, z)
     fs2 = jnp.maximum(jnp.exp(lnnf_kk)[:, None] - data,
                       jnp.finfo(dtype).eps)
     return fmu, fs2

@@ -26,10 +26,11 @@ def _gp_mcmc(cfg: GPConfig, gp: GP, key, x0s, lb, ub, n_steps: int,
     """Ensemble-slice MCMC on log density = posterior mean (+ beta * SD)."""
     def logpdf(x):
         fmu, fs2 = jax.vmap(
-            lambda hyp, alpha, L, sn2: core.predict_one(
-                cfg, hyp, core.Posterior(alpha, L, sn2, jnp.asarray(True)),
+            lambda hyp, alpha, L, Binv, sn2: core.predict_one(
+                cfg, hyp,
+                core.Posterior(alpha, L, Binv, sn2, jnp.asarray(True)),
                 gp.X, gp.y, gp.mask, x[None, :])
-        )(gp.hyp, gp.alpha, gp.L, gp.sn2)
+        )(gp.hyp, gp.alpha, gp.L, gp.Binv, gp.sn2)
         m = gp.hyp_mask.astype(x.dtype)
         ns = jnp.maximum(jnp.sum(m), 1.0)
         fbar = jnp.sum(fmu[:, 0] * m) / ns

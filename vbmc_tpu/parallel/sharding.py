@@ -80,6 +80,7 @@ def sharded_hyp_ensemble_step(mesh: Mesh, cfg: GPConfig, theta, gp,
         hyp_mask=shard_batch(mesh, gp.hyp_mask, axis_name),
         alpha=shard_batch(mesh, gp.alpha, axis_name),
         L=shard_batch(mesh, gp.L, axis_name),
+        Binv=shard_batch(mesh, gp.Binv, axis_name),
         sn2=shard_batch(mesh, gp.sn2, axis_name),
     )
     rest = replicate(mesh, (theta, mu0, sigma0, lam0, w0, kmask))

@@ -67,7 +67,7 @@ def make_vp(trinfo: Trinfo, mu: np.ndarray, sigma, lam, w=None,
     sg_p = np.ones(k_max); sg_p[:K] = sigma
     w_p = np.zeros(k_max); w_p[:K] = w
     eta_p = np.full(k_max, -40.0)
-    eta_p[:K] = np.log(np.maximum(w, 1e-300))
+    eta_p[:K] = np.log(np.maximum(w, 1e-30))
     kmask = np.arange(k_max) < K
     return VariationalPosterior(
         w=jnp.asarray(w_p, dtype=dtype), eta=jnp.asarray(eta_p, dtype=dtype),

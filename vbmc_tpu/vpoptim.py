@@ -164,7 +164,7 @@ def _thetas_np(flags, mu_c, sg_c, lam_c, w_c, kmask_np):
         parts.append(np.log(lam_c))
     if flags.opt_weights:
         eta = np.where(kmask_np[None, :],
-                       np.log(np.maximum(w_c, 1e-300)), -40.0)
+                       np.log(np.maximum(w_c, 1e-30)), -40.0)
         parts.append(eta)
     return np.concatenate(parts, axis=1)
 
@@ -183,7 +183,7 @@ class VPOptimResult(NamedTuple):
 
 
 def _theta_from_arrays(flags, mu, sigma, lam, w, kmask):
-    eta = jnp.where(kmask, jnp.log(jnp.maximum(w, 1e-300)), -40.0)
+    eta = jnp.where(kmask, jnp.log(jnp.maximum(w, 1e-30)), -40.0)
     return eb.pack_theta(flags, jnp.asarray(mu), jnp.asarray(sigma),
                          jnp.asarray(lam), eta)
 
@@ -433,10 +433,10 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
                 checked[idx] = True
 
     vp_new = VariationalPosterior(
-        w=jnp.asarray(w_cur * kmask_np / max((w_cur * kmask_np).sum(), 1e-300),
+        w=jnp.asarray(w_cur * kmask_np / max((w_cur * kmask_np).sum(), 1e-30),
                       dtype=gp.X.dtype),
         eta=jnp.asarray(np.where(kmask_np,
-                                 np.log(np.maximum(w_cur, 1e-300)), -40.0),
+                                 np.log(np.maximum(w_cur, 1e-30)), -40.0),
                         dtype=gp.X.dtype),
         mu=jnp.asarray(np.asarray(st_cur["mu"]), dtype=gp.X.dtype),
         sigma=jnp.asarray(np.asarray(st_cur["sigma"]), dtype=gp.X.dtype),

@@ -140,7 +140,7 @@ def warp_gp_and_vp(trinfo_new: Trinfo, vp_old: VariationalPosterior,
     dy = logjac(trinfo_new, muw)
     ww = w * np.exp(np.clip((dy - dy_old) / T, -100, 100))
     ww = np.where(kmask, ww, 0.0)
-    ww = ww / max(ww.sum(), 1e-300)
+    ww = ww / max(ww.sum(), 1e-30)
 
     dtype = vp_old.mu.dtype
     vp_new = vp_old._replace(
@@ -149,6 +149,6 @@ def warp_gp_and_vp(trinfo_new: Trinfo, vp_old: VariationalPosterior,
         sigma=jnp.asarray(np.where(kmask, sigma_new, 1.0), dtype=dtype),
         lam=jnp.asarray(lam_new, dtype=dtype),
         w=jnp.asarray(ww, dtype=dtype),
-        eta=jnp.asarray(np.where(kmask, np.log(np.maximum(ww, 1e-300)),
+        eta=jnp.asarray(np.where(kmask, np.log(np.maximum(ww, 1e-30)),
                                  -40.0), dtype=dtype))
     return vp_new, hyp
