@@ -200,9 +200,17 @@ def _geomean_length_scale(cfg: GPConfig, gp: GP) -> np.ndarray:
 def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                   vp: VariationalPosterior, gp: Optional[GP],
                   sb: SearchBounds, options, *, acq_name: str,
-                  tol_gp_var: float, var_log_joint=None) -> Optional[GP]:
-    """Acquire ``n_points`` new evaluations; returns the (posterior-updated)
-    GP. ``gp`` must be trained (call `initial_design` when there is none)."""
+                  tol_gp_var: float, var_log_joint=None,
+                  full_update: bool = False, retrain_gp=None,
+                  refit_vp=None, fess_thresh: float = 1.0):
+    """Acquire ``n_points`` new evaluations; returns (gp, vp).
+
+    ``gp`` must be trained (call `initial_design` when there is none).
+    When ``full_update`` is set (noisy targets near warmup end / unstable
+    runs, cf. `activesample_vbmc.m:46-76, 429-473`), the provided
+    ``retrain_gp(logger)`` / ``refit_vp(vp, gp)`` callbacks re-train the GP
+    hyperparameters and re-fit the VP after each acquisition, gated on the
+    fractional effective sample size."""
     D = vp.D
     dtype = gp.X.dtype
     use_is = ACQ_INFO[acq_name]["importance_sampling"]
@@ -287,9 +295,26 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
         sb.expand(x_best)
 
         if i < n_points - 1:
-            gp = gp_reupdate(cfg, gp, logger)
+            if full_update and (retrain_gp is not None
+                                or refit_vp is not None):
+                gp_tmp = gp_reupdate(cfg, gp, logger)
+                if fess_thresh < 1.0:
+                    from vbmc_tpu.vpoptim import fractional_ess
+                    key, k_f = jax.random.split(key)
+                    fess = fractional_ess(k_f, cfg, vp, gp_tmp, 100)
+                else:
+                    fess = 0.0
+                if fess <= fess_thresh:
+                    gp = retrain_gp(logger) if retrain_gp is not None \
+                        else gp_tmp
+                    if refit_vp is not None:
+                        vp = refit_vp(vp, gp)
+                else:
+                    gp = gp_tmp
+            else:
+                gp = gp_reupdate(cfg, gp, logger)
 
-    return gp_reupdate(cfg, gp, logger)
+    return gp_reupdate(cfg, gp, logger), vp
 
 
 def _hard_bound_eps(logger: FunctionLogger, options):

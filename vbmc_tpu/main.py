@@ -253,6 +253,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     posterior, the ELBO and its uncertainty, plus diagnostics.
     """
     t0 = time.monotonic()
+    _configure_numerics()
     if options is None:
         options = VBMCOptions()
 
@@ -383,19 +384,27 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 elbo=elbo, elbo_sd=elbo_sd,
                 recompute=state.recompute_var_post)
 
+            trinfo_old_warp = logger.trinfo
             trinfo_new = warp_mod.compute_rotoscale(
                 vp_for_warp, corr_thresh=opt.warp_roto_corr_thresh,
                 cov_reg=opt.warp_cov_reg)
             key, k_w = jax.random.split(key)
             plb_t, pub_t = warp_mod.update_plausible_bounds(
                 trinfo_new, plb, pub, k_w)
-            lb_t_new = np.asarray(direct(trinfo_new, jnp.asarray(lb)[None, :]))[0]
-            ub_t_new = np.asarray(direct(trinfo_new, jnp.asarray(ub)[None, :]))[0]
+            # Hard bounds cannot be pushed through a rotation (inf * 0);
+            # the transformed space is unbounded, and the hard-bound check
+            # happens in original coordinates (`warp_input_vbmc.m:132-148`:
+            # only the *search box* is remapped, by sampling).
+            lb_t_new = np.full(D, -np.inf)
+            ub_t_new = np.full(D, np.inf)
+            sb_lb_new, sb_ub_new = warp_mod.remap_search_box(
+                trinfo_old_warp, trinfo_new, sb.lb, sb.ub,
+                jax.random.fold_in(k_w, 1))
             logger.retransform(trinfo_new)
             vp, hyp_warped = warp_mod.warp_gp_and_vp(
                 trinfo_new, vp, gp, cfg, temperature=opt.temperature)
-            sb = SearchBounds.init(plb_t, pub_t, lb_t_new, ub_t_new,
-                                   opt.active_search_bound)
+            sb = SearchBounds(lb=sb_lb_new, ub=sb_ub_new,
+                              lb_hard=lb_t_new, ub_hard=ub_t_new)
             hyp_warm = hyp_warped
             state.hyp_runcov = None
             state.run_mean = None
@@ -463,9 +472,48 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         else:
             acq_name = acq_names[int(rng.integers(len(acq_names)))]
             acq_name = _canonical_acq(acq_name)
-            gp = active_sample(k_as, cfg, logger, opt.fun_evals_per_iter,
-                               vp, gp, sb, opt, acq_name=acq_name,
-                               tol_gp_var=opt.tol_gp_var)
+
+            # Full per-point updates near warmup end / unstable runs
+            # (noisy-target default, `activesample_vbmc.m:46-76`).
+            rindex_prev = stats.last.rindex if len(stats) else math.inf
+            full_update = (
+                (opt.active_sample_gp_update or opt.active_sample_vp_update)
+                and ((it - opt.active_sample_full_update_past_warmup)
+                     <= state.last_warmup
+                     or rindex_prev > opt.active_sample_full_update_threshold))
+
+            def _retrain_gp(lgr):
+                k_gp_i = jax.random.fold_in(key, 1000 + it)
+                topts_i = _gp_train_options(state, stats, opt, lgr,
+                                            uncertainty_level)
+                X_i, y_i, s2_i = lgr.training_data(
+                    noise_shaping=_noise_shaping if opt.noise_shaping
+                    else None, options=opt)
+                gp_i, _ = train_gp(k_gp_i, cfg, X_i, y_i, s2_i, plb_t, pub_t,
+                                   topts_i, hyp0=hyp_warm)
+                return gp_i
+
+            def _refit_vp(vp_i, gp_i):
+                k_vp_i = jax.random.fold_in(key, 2000 + it)
+                K_i = int(np.sum(np.asarray(vp_i.kmask)))
+                n_fast_i = int(math.ceil(
+                    opt.ns_elbo_incr * opt.evalopt("ns_elbo", K_i)))
+                res_i = vpoptimize(
+                    k_vp_i, cfg, vp_i, gp_i, K_i, opt, warmup=state.warmup,
+                    entropy_switch=state.entropy_switch,
+                    n_fast_opts=n_fast_i, n_slow_opts=1,
+                    n_ent=opt.evalopt("ns_ent_active", K_i),
+                    n_ent_fine=opt.evalopt("ns_ent_fine_active", K_i),
+                    prune=False)
+                return res_i.vp
+
+            gp, vp = active_sample(
+                k_as, cfg, logger, opt.fun_evals_per_iter, vp, gp, sb, opt,
+                acq_name=acq_name, tol_gp_var=opt.tol_gp_var,
+                full_update=full_update,
+                retrain_gp=_retrain_gp if opt.active_sample_gp_update else None,
+                refit_vp=_refit_vp if opt.active_sample_vp_update else None,
+                fess_thresh=opt.active_sample_fess_thresh)
         timers["active_sampling"] += time.monotonic() - t
 
         # ------------------------------------------------------ GP training
@@ -638,6 +686,35 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         vp_train=vp_train, func_count=logger.func_count,
         iterations=len(stats), convergence_status=convergence,
         idx_best=idx_best, timers=timers)
+
+
+_numerics_configured = False
+
+
+def _configure_numerics():
+    """One-time numeric/runtime configuration.
+
+    On TPU the default matmul precision feeds float32 operands through the
+    MXU as bfloat16, which destroys the small differences the quadrature
+    covariance J_jk = prior_term - data_term is made of (observed as
+    multi-nat ELBO-SD spikes). Full float32 accumulation is required for
+    correctness; these matrices are small, so the cost is negligible.
+    A persistent compilation cache amortizes the (remote) XLA compiles
+    across processes.
+    """
+    global _numerics_configured
+    if _numerics_configured:
+        return
+    import os
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cache_dir = os.environ.get("VBMC_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/vbmc_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    _numerics_configured = True
 
 
 def _canonical_acq(name: str) -> str:

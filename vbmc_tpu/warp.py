@@ -82,6 +82,24 @@ def update_plausible_bounds(trinfo: Trinfo, plb_orig, pub_orig, key,
     return plb - delta / 9.0, pub + delta / 9.0
 
 
+def remap_search_box(trinfo_old: Trinfo, trinfo_new: Trinfo, lb_search,
+                     ub_search, key, n_samples: int = 1000):
+    """Map the active-search box into the new space by sampling
+    (`warp_input_vbmc.m:142-148`): draw uniformly in the old box, push the
+    points through old-inverse -> new-direct, take the hull."""
+    D = lb_search.shape[0]
+    lo = np.where(np.isfinite(lb_search), lb_search, -10.0)
+    hi = np.where(np.isfinite(ub_search), ub_search, 10.0)
+    u = np.asarray(jax.random.uniform(key, (n_samples, D)))
+    xx = lo + u * (hi - lo)
+    yy = np.asarray(direct(trinfo_new, inverse(trinfo_old, jnp.asarray(xx))))
+    yy = yy[np.all(np.isfinite(yy), axis=1)]
+    if yy.shape[0] == 0:
+        return lo.copy(), hi.copy()
+    delta = yy.max(0) - yy.min(0)
+    return yy.min(0) - delta / n_samples, yy.max(0) + delta / n_samples
+
+
 def warp_gp_and_vp(trinfo_new: Trinfo, vp_old: VariationalPosterior,
                    gp_old, cfg, temperature: float = 1.0):
     """Map GP hyperparameters and VP parameters into the new space
