@@ -124,18 +124,25 @@ def _blocks():
 
 def run_block(blk, seed, max_fun_evals=100):
     from vbmc_tpu import vbmc, VBMCOptions, vp_moments
-    opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals, seed=seed,
-                       min_final_components=20,
-                       specify_target_noise=blk["noisy"])
-    res = vbmc(blk["fun"], x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
-               plb=blk["plb"], pub=blk["pub"], options=opts)
-    mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
-    err_elbo = abs(res.elbo - blk["lnz"])
-    rmse = float(np.sqrt(np.mean((np.asarray(mean) - blk["mean"]) ** 2)))
-    ok = (res.exitflag >= 0) and err_elbo < 0.5 and rmse < 0.5
-    return dict(name=blk["name"], ok=bool(ok), elbo_err=float(err_elbo),
-                rmse=rmse, func_count=res.func_count,
-                iters=res.iterations)
+    try:
+        opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals,
+                           seed=seed, min_final_components=20,
+                           specify_target_noise=blk["noisy"])
+        res = vbmc(blk["fun"], x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
+                   plb=blk["plb"], pub=blk["pub"], options=opts)
+        mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
+        err_elbo = abs(res.elbo - blk["lnz"])
+        rmse = float(np.sqrt(np.mean((np.asarray(mean) - blk["mean"]) ** 2)))
+        ok = (res.exitflag >= 0) and err_elbo < 0.5 and rmse < 0.5
+        return dict(name=blk["name"], ok=bool(ok), elbo_err=float(err_elbo),
+                    rmse=rmse, func_count=res.func_count,
+                    iters=res.iterations)
+    except Exception as e:  # a failing block must not kill the bench
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        return dict(name=blk["name"], ok=False, elbo_err=float("nan"),
+                    rmse=float("nan"), func_count=0, iters=0,
+                    error=f"{type(e).__name__}: {e}")
 
 
 def main():
