@@ -1,0 +1,140 @@
+"""Microbenchmarks of the VBMC-TPU hot kernels on the current device.
+
+Reports per-kernel wall time and achieved FLOP rates for:
+  1. batched GP posterior build (S Cholesky factorizations + inverses)
+  2. the 2^13-candidate acquisition sweep (GEMM-shaped predict + mixture pdf)
+  3. one ELBO value-and-gradient step (Bayesian quadrature + entropy)
+  4. one GP hyperparameter slice-sampling sweep (sequential scan)
+
+Usage: python bench_kernels.py [N] [S] [K] [M]
+Prints one JSON line per kernel (stderr has human-readable detail).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.monotonic() - t0) / reps
+
+
+def main():
+    from vbmc_tpu.main import _configure_numerics
+    _configure_numerics()
+    from vbmc_tpu.gp.config import GPConfig
+    from vbmc_tpu.gp.gp import gp_from_host
+    from vbmc_tpu.gp.fit import _build_gp_jit
+    from vbmc_tpu.acquisitions import evaluate_acquisition, AcqState
+    from vbmc_tpu.vp import make_vp
+    from vbmc_tpu.transforms import create_trinfo
+    from vbmc_tpu import elbo as eb
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    S = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    M = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
+    D = 6
+
+    rng = np.random.default_rng(0)
+    cfg = GPConfig(D=D)
+    X = rng.uniform(-2, 2, (N, D))
+    y = -0.5 * np.sum(X ** 2, 1)
+    hyps = np.zeros((S, cfg.nhyp))
+    hyps[:, :D] = np.log(0.8)
+    hyps[:, D] = 0.0
+    hyps[:, cfg.ncov] = np.log(0.05)
+    hyps[:, cfg.ncov + cfg.nnoise + 1 + D:] = np.log(1.2)
+    hyps += 0.03 * rng.standard_normal(hyps.shape)
+    gp = gp_from_host(cfg, X, y, None, hyps, n_bucket=N, s_bucket=S)
+    dtype = gp.X.dtype
+    dev = jax.devices()[0].platform
+
+    results = []
+
+    # 1. posterior build: S x (chol(N,N) + inverse) ~ S * (N^3/3 + N^3)
+    t = _time(lambda: _build_gp_jit(cfg, gp.X, gp.y, gp.s2, gp.mask, gp.hyp,
+                                    gp.hyp_mask))
+    flops = S * (N ** 3 / 3 + N ** 3 + 2 * N ** 2 * D)
+    results.append(("gp_posterior_build", t, flops))
+
+    # 2. acquisition sweep
+    trinfo = create_trinfo([-np.inf] * D, [np.inf] * D, [-2.0] * D, [2.0] * D)
+    vp = make_vp(trinfo, rng.uniform(-1, 1, (K, D)), 0.5, np.ones(D))
+    Xs = jnp.asarray(rng.uniform(-2, 2, (M, D)), dtype=dtype)
+    state = AcqState(
+        ymax=jnp.asarray(0.0, dtype=dtype),
+        tol_var=jnp.asarray(1e-4, dtype=dtype),
+        lb_eps_orig=jnp.full((D,), -jnp.inf, dtype=dtype),
+        ub_eps_orig=jnp.full((D,), jnp.inf, dtype=dtype),
+        gp_length_scale=jnp.ones(D, dtype=dtype),
+        var_log_joint=jnp.ones(S, dtype=dtype),
+        regularize=jnp.asarray(True))
+    t = _time(lambda: evaluate_acquisition(cfg, "prospective", Xs, vp, gp,
+                                           state))
+    # per sample: kernel cross N*M*D, Binv@ks N*N*M, products 2*N*M
+    flops = S * (2 * N * M * D + 2 * N * N * M + 4 * N * M) + 2 * K * M * D
+    results.append(("acquisition_sweep_8k", t, flops))
+
+    # 3. ELBO value+grad
+    flags = eb.VPFlags(opt_weights=True)
+    eta = jnp.zeros(K, dtype=dtype)
+    theta = eb.pack_theta(flags, vp.mu, vp.sigma, vp.lam, eta)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def elbo_step(th):
+        def f(t_):
+            F, _ = eb.negelcbo(cfg, t_, gp, vp.mu, vp.sigma, vp.lam, vp.w,
+                               vp.kmask, flags, 0.0, 0, 1, key)
+            return F
+        return jax.value_and_grad(f)(th)
+
+    t = _time(elbo_step, theta)
+    # z matrix 2x(S,K,N) einsums over D + J data term 2 GEMMs (S,K,N)x(N,N)
+    flops = 2 * (S * (4 * K * N * D) + S * (2 * K * N * N + 2 * K * K * N))
+    results.append(("elbo_value_and_grad", t, flops))
+
+    # 4. one slice-sampling sweep over all hyperparameters
+    from vbmc_tpu.gp import core as gcore
+    from vbmc_tpu.samplers.slice import _slice_sweep
+    prior_mu = jnp.asarray(hyps[0], dtype=dtype)
+
+    @jax.jit
+    def sweep(k, h):
+        def logp(hh):
+            return -gcore.neg_log_marginal_likelihood(
+                cfg, hh, gp.X, gp.y, gp.s2, gp.mask)
+        widths = jnp.ones_like(h)
+        lo = h - 10.0
+        hi = h + 10.0
+        return _slice_sweep(k, logp, h, logp(h), widths, lo, hi)
+
+    t = _time(sweep, jax.random.PRNGKey(1), prior_mu, reps=3)
+    flops = cfg.nhyp * 4 * (N ** 3 / 3)   # ~4 nlZ evals per coordinate
+    results.append(("slice_sweep_nlz", t, flops))
+
+    for name, t, flops in results:
+        gf = flops / t / 1e9
+        print(f"# {name}: {t*1e3:8.2f} ms  ~{gf:9.1f} GFLOP/s", file=sys.stderr)
+        print(json.dumps({"metric": f"kernel_{name}_ms",
+                          "value": round(t * 1e3, 3), "unit": "ms",
+                          "vs_baseline": round(gf, 1),
+                          "device": dev, "N": N, "S": S, "K": K, "M": M}))
+
+
+if __name__ == "__main__":
+    main()

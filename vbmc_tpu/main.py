@@ -621,6 +621,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                   f"{state.R:12.3g}     {', '.join(notes)}")
 
     # ---------------------------------------------------------- finalize run
+    t_final = time.monotonic()
     idx_best = st.best_iteration(stats, safe_sd=opt.best_safe_sd,
                                  frac_back=opt.best_frac_back,
                                  rank_criterion=opt.rank_criterion)
@@ -679,6 +680,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         from vbmc_tpu.vp import vp_train2real
         vp, elbo, elbo_sd = vp_train2real(vp, opt.temperature, elbo, elbo_sd)
 
+    timers["final_boost"] = time.monotonic() - t_final
     timers["total"] = time.monotonic() - t0
     return VBMCResult(
         vp=vp, elbo=float(elbo), elbo_sd=float(elbo_sd), exitflag=exitflag,

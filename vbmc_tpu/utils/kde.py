@@ -89,3 +89,47 @@ def kde1d(data: np.ndarray, n: int = 2 ** 14, lo=None, hi=None):
     if z > 0:
         density = density / z
     return density, grid
+
+
+def kde2d(x: np.ndarray, y: np.ndarray, n: int = 256, lims=None):
+    """2-D Gaussian KDE on an n x n grid (cf. `utils/kde2d.m`), with
+    per-dimension diffusion bandwidths from the 1-D estimator (a practical
+    simplification of Botev's full 2-D fixed point; used for plots).
+
+    Returns (density (n, n), gx (n,), gy (n,)).
+    """
+    x = np.asarray(x, float).ravel()
+    y = np.asarray(y, float).ravel()
+    if lims is None:
+        rx = max(x.max() - x.min(), 1e-12)
+        ry = max(y.max() - y.min(), 1e-12)
+        lims = (x.min() - rx / 10, x.max() + rx / 10,
+                y.min() - ry / 10, y.max() + ry / 10)
+    x0, x1, y0, y1 = lims
+
+    hist, ex, ey = np.histogram2d(x, y, bins=n, range=[[x0, x1], [y0, y1]])
+    hist = hist / max(hist.sum(), 1)
+
+    # Marginal (Silverman) bandwidths; adequate for the plotting use case.
+    def t_of(d, lo, hi):
+        sigma = max(np.std(d, ddof=1), 1e-12)
+        return (1.06 * sigma * len(d) ** (-0.2)) ** 2
+
+    tx = t_of(x, x0, x1) / (x1 - x0) ** 2
+    ty = t_of(y, y0, y1) / (y1 - y0) ** 2
+
+    # Smooth via 2-D DCT.
+    ax = np.apply_along_axis(_dct1d, 0, hist)
+    a2 = np.apply_along_axis(_dct1d, 1, ax)
+    k = np.arange(n)
+    a2 = a2 * np.exp(-k[:, None] ** 2 * np.pi ** 2 * tx / 2.0) \
+        * np.exp(-k[None, :] ** 2 * np.pi ** 2 * ty / 2.0)
+    sx = np.apply_along_axis(_idct1d, 0, a2)
+    dens = np.apply_along_axis(_idct1d, 1, sx)
+    dens = np.maximum(dens, 0.0)
+    gx = 0.5 * (ex[:-1] + ex[1:])
+    gy = 0.5 * (ey[:-1] + ey[1:])
+    z = np.trapezoid(np.trapezoid(dens, gy, axis=1), gx)
+    if z > 0:
+        dens = dens / z
+    return dens, gx, gy
