@@ -333,6 +333,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     acq_names = tuple(opt.search_acq_fcn)
     timers = dict(active_sampling=0.0, gp_train=0.0, variational_fit=0.0,
                   finalize=0.0)
+    timers_prev = dict(timers)
     is_finished = False
     exitflag = 0
     msg = ""
@@ -596,7 +597,11 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             func_count=logger.func_count, warmup=state.warmup,
             pruned=res.pruned, varss=res.varss, lcbmax=lcbmax, vp=vp,
             gp_hyp=np.asarray(gp.hyp)[np.asarray(gp.hyp_mask, bool)],
-            gp_hyp_full=gpinfo["hyp_full"], gp_ns=gpinfo["ns_samples"]))
+            gp_hyp_full=gpinfo["hyp_full"], gp_ns=gpinfo["ns_samples"],
+            timer={k: round(timers[k] - timers_prev.get(k, 0.0), 4)
+                   for k in ("active_sampling", "gp_train",
+                             "variational_fit", "finalize")}))
+        timers_prev = dict(timers)
 
         # -------------------------------------------- termination & warmup
         is_finished, exitflag, msg, t_notes = st.check_termination(
@@ -688,6 +693,27 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         vp_train=vp_train, func_count=logger.func_count,
         iterations=len(stats), convergence_status=convergence,
         idx_best=idx_best, timers=timers)
+
+
+def vbmc_sweep(fun, x0=None, lb=None, ub=None, plb=None, pub=None,
+               options: Optional[VBMCOptions] = None, n_runs: int = 3):
+    """Multi-run validation sweep (cf. the `vbmc_diagnostics` workflow):
+    run VBMC ``n_runs`` times with different seeds and cross-validate.
+
+    Returns (DiagnosticsResult, [VBMCResult, ...]). On a multi-host
+    deployment each run is independent and can be dispatched to its own
+    host; locally they execute sequentially.
+    """
+    import dataclasses as _dc
+    from vbmc_tpu.diagnostics import vbmc_diagnostics
+
+    if options is None:
+        options = VBMCOptions()
+    results = []
+    for i in range(n_runs):
+        opts_i = _dc.replace(options, seed=options.seed + 1000 * i)
+        results.append(vbmc(fun, x0, lb, ub, plb, pub, options=opts_i))
+    return vbmc_diagnostics(results), results
 
 
 _numerics_configured = False
