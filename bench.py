@@ -157,7 +157,13 @@ def main():
     warm_s = time.monotonic() - t_warm
 
     t0 = time.monotonic()
-    results = [run_block(blk, seed=i + 1) for i, blk in enumerate(blocks)]
+    results = []
+    for i, blk in enumerate(blocks):
+        results.append(run_block(blk, seed=i + 1))
+        # Release compiled executables between blocks: thousands of kernel
+        # variants otherwise exhaust mmap sections (LLVM "Cannot allocate
+        # memory"). The persistent compilation cache makes reloads cheap.
+        jax.clear_caches()
     elapsed = time.monotonic() - t0
 
     n_ok = sum(r["ok"] for r in results)

@@ -739,7 +739,7 @@ def _configure_numerics():
                                os.path.expanduser("~/.cache/vbmc_tpu_xla"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
     _numerics_configured = True
