@@ -199,9 +199,16 @@ def gplogjoint_J(cfg: GPConfig, gp: GP, mu, sigma, lam, kmask):
                - 0.5 * logdet)
     prior_term = jnp.exp(lnnf_jk - 0.5 * quad)
 
-    # Data correction: z_j^T B^{-1} z_k per sample — two batched GEMMs.
-    t_zb = jnp.einsum("skn,snm->skm", z, gp.Binv)
-    data_term = jnp.einsum("skm,sjm->skj", t_zb, z)
+    # Data correction: z_j^T B^{-1} z_k per sample. Uses the Cholesky solve,
+    # not the explicit inverse: J is a small difference of large terms and
+    # the inverse squares the condition number — in float32 that inflates
+    # the ELBO uncertainty by orders of magnitude (observed; keep L here,
+    # Binv is for the prediction/IS sweeps where cancellation is mild).
+    def corr(L, zs):
+        U = cho_solve((L, True), zs.T)        # (N, K)
+        return zs @ U                         # (K, K)
+
+    data_term = jax.vmap(corr)(gp.L, z)
     J = prior_term - data_term
     mK = kmask.astype(J.dtype)
     return J * mK[None, :, None] * mK[None, None, :]

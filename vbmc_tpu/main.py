@@ -330,7 +330,11 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     key = jax.random.PRNGKey(opt.seed)
     gp = None
     hyp_warm = None
-    acq_names = tuple(opt.search_acq_fcn)
+    acq_names = tuple(_canonical_acq(a) for a in opt.search_acq_fcn)
+    hedge = None
+    if opt.acq_hedge and len(acq_names) > 1:
+        from vbmc_tpu.hedge import AcqHedge
+        hedge = AcqHedge(names=list(acq_names), decay=opt.acq_hedge_decay)
     timers = dict(active_sampling=0.0, gp_train=0.0, variational_fit=0.0,
                   finalize=0.0)
     timers_prev = dict(timers)
@@ -471,8 +475,10 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                            fvals_cache=np.asarray(opt.fvals, float)
                            if opt.fvals is not None else None)
         else:
-            acq_name = acq_names[int(rng.integers(len(acq_names)))]
-            acq_name = _canonical_acq(acq_name)
+            if hedge is not None:
+                acq_name = hedge.choose(rng)
+            else:
+                acq_name = acq_names[int(rng.integers(len(acq_names)))]
 
             # Full per-point updates near warmup end / unstable runs
             # (noisy-target default, `activesample_vbmc.m:46-76`).
@@ -620,6 +626,20 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 state.hyp_runcov = None
         stats.last.warmup = state.warmup
 
+        # Hedge reward: ELCBO improvement over the previous iteration
+        # (`vbmc.m:848-850`, `acqhedge_vbmc.m:28-56`).
+        if hedge is not None and it > 1:
+            prev = stats.iterations[-2]
+            impro = ((elbo - opt.elcbo_impro_weight * elbo_sd)
+                     - (prev.elbo - opt.elcbo_impro_weight * prev.elbo_sd))
+            hedge.update(impro, opt.fun_evals_per_iter)
+
+        if opt.output_fcn is not None:
+            opt.output_fcn(dict(iteration=it, elbo=elbo, elbo_sd=elbo_sd,
+                                sKL=sKL, K=state.vp_K, rindex=state.R,
+                                func_count=logger.func_count, vp=vp,
+                                warmup=state.warmup))
+
         if display:
             print(f" {it:9d} {logger.func_count:8d} {elbo:14.2f} "
                   f"{elbo_sd:13.2f} {sKL:15.2f} {state.vp_K:6d} "
@@ -659,8 +679,10 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     if exitflag == 0 and not stable:
         msg = msg or ("Inference terminated without reaching stability; "
                       "examine the run diagnostics.")
-    if display:
+    if opt.display in ("iter", "final"):
         print(msg)
+        print(f"Estimated ELBO: {float(elbo):.3f} +/- {float(elbo_sd):.3f} "
+              f"[{convergence} convergence, {logger.func_count} fcn evals]")
 
     # Automatic retry from the best solution (cf. `vbmc.m:968-1009`).
     if exitflag < 1 and opt.retry_max_fun_evals > 0:
@@ -735,13 +757,21 @@ def _configure_numerics():
         return
     import os
     jax.config.update("jax_default_matmul_precision", "highest")
-    cache_dir = os.environ.get("VBMC_COMPILE_CACHE",
-                               os.path.expanduser("~/.cache/vbmc_tpu_xla"))
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
-        pass
+        on_tpu = False
+    if on_tpu or os.environ.get("VBMC_COMPILE_CACHE"):
+        # Persistent cache only where compiles are expensive (remote TPU
+        # compiles); the CPU AOT cache is feature-set brittle.
+        cache_dir = os.environ.get(
+            "VBMC_COMPILE_CACHE", os.path.expanduser("~/.cache/vbmc_tpu_xla"))
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+        except Exception:
+            pass
     _numerics_configured = True
 
 

@@ -192,6 +192,8 @@ class VBMCOptions:
     warp_tol_sd_base: float = 1.0
     elcbo_weight: float = 0.0
 
+    output_fcn: Optional[Callable] = None   # per-iteration callback
+
     # --- TPU-specific knobs (not in the reference) ---
     seed: int = 0
     n_gp_chains: int = 4           # parallel slice-sampling chains
