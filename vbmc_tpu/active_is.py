@@ -174,15 +174,21 @@ def evaluate_is_acquisition(cfg: GPConfig, name: str, Xs: jnp.ndarray,
     red = cov ** 2 / denom[:, :, None]                  # (S, M, Na)
     s2_post = jnp.maximum(ais.f_s2[:, None, :] - red, 1e-12)
 
-    # IQR factor: 2*sinh(u * s) integrated under the IS weights; acquisition
-    # maximizes the reduction, i.e. minimizes the posterior integrated IQR.
+    # IQR factor: 2*sinh(u * s) integrated under the IS weights
+    # (`acqviqr_vbmc.m:100-108`); minimizing the post-observation integrated
+    # IQR maximizes information about the posterior mass.
     ln_sinh_post = jnp.log(2.0) + _log_sinh(_U_IQR * jnp.sqrt(s2_post))
     lnw = ais.ln_weights[:, None, :]                    # (S, 1, Na)
     ln_integral = jax.scipy.special.logsumexp(lnw + ln_sinh_post, axis=2)
 
+    # Average over hyperparameter samples in log space
+    # (`acqviqr_vbmc.m:111-114`), masked log-mean-exp.
     m = gp.hyp_mask.astype(dtype)
     ns = jnp.maximum(jnp.sum(m), 1.0)
-    acq = jnp.sum(ln_integral * m[:, None], axis=0) / ns  # (M,) log-domain
+    neg_big = jnp.finfo(dtype).min
+    ln_masked = jnp.where(m[:, None] > 0, ln_integral, neg_big)
+    acq = (jax.scipy.special.logsumexp(ln_masked, axis=0)
+           - jnp.log(ns))                               # (M,) log-domain
 
     low = vtot < state.tol_var
     ratio = state.tol_var / jnp.maximum(vtot, jnp.finfo(vtot.dtype).tiny)
