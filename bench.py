@@ -42,9 +42,9 @@ def _blocks():
     D = 6
     sd6 = np.linspace(0.5, 1.5, D)
 
-    def mvn6(x):
-        return float(-0.5 * np.sum((x / sd6) ** 2)
-                     - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd6)))
+    def mvn6(x, sd=sd6, D_=D):
+        return float(-0.5 * np.sum((x / sd) ** 2)
+                     - 0.5 * D_ * np.log(2 * np.pi) - np.sum(np.log(sd)))
     blocks.append(dict(name="mvn6", fun=mvn6, D=6, lnz=0.0,
                        mean=np.zeros(6), x0=np.full(6, 0.3),
                        lb=None, ub=None, plb=np.full(6, -3.0),
@@ -53,9 +53,9 @@ def _blocks():
     # 2) D=2 half-normal, constrained (runtest:28-37).
     sd2 = np.array([1.0, 0.6])
 
-    def halfnorm(x):
-        return float(-0.5 * np.sum((x / sd2) ** 2)
-                     - np.log(2 * np.pi) - np.sum(np.log(sd2)))
+    def halfnorm(x, sd=sd2):
+        return float(-0.5 * np.sum((x / sd) ** 2)
+                     - np.log(2 * np.pi) - np.sum(np.log(sd)))
     blocks.append(dict(name="halfnorm2", fun=halfnorm, D=2,
                        lnz=float(np.log(0.25)),
                        mean=sd2 * np.sqrt(2 / np.pi),
@@ -73,16 +73,16 @@ def _blocks():
     prec3 = np.linalg.inv(cov3)
     lognorm3 = -0.5 * D * np.log(2 * np.pi) - 0.5 * np.linalg.slogdet(cov3)[1]
 
-    def cigar(x):
-        return float(-0.5 * x @ prec3 @ x + lognorm3)
+    def cigar(x, P=prec3, ln=lognorm3):
+        return float(-0.5 * x @ P @ x + ln)
     blocks.append(dict(name="cigar3", fun=cigar, D=3, lnz=0.0,
                        mean=np.zeros(3), x0=np.full(3, 0.25),
                        lb=None, ub=None, plb=np.full(3, -4.0),
                        pub=np.full(3, 4.0), noisy=False))
 
     # 4) D=3 cigar, constrained (runtest:49-57).
-    def cigar_c(x):
-        return float(-0.5 * x @ prec3 @ x + lognorm3)
+    def cigar_c(x, P=prec3, ln=lognorm3):
+        return float(-0.5 * x @ P @ x + ln)
     # Box [-5, 5]^3 captures essentially all mass: lnZ ~ 0.
     blocks.append(dict(name="cigar3_box", fun=cigar_c, D=3, lnz=0.0,
                        mean=np.zeros(3), x0=np.full(3, 0.25),
@@ -93,9 +93,9 @@ def _blocks():
     # 5) D=2 noisy half-normal (sigma=1 additive noise, runtest:59-67).
     noise_rng = np.random.default_rng(1)
 
-    def halfnorm_noisy(x):
-        y = (-0.5 * np.sum((x / sd2) ** 2)
-             - np.log(2 * np.pi) - np.sum(np.log(sd2)))
+    def halfnorm_noisy(x, sd=sd2):
+        y = (-0.5 * np.sum((x / sd) ** 2)
+             - np.log(2 * np.pi) - np.sum(np.log(sd)))
         return float(y + noise_rng.standard_normal()), 1.0
     blocks.append(dict(name="halfnorm2_noisy", fun=halfnorm_noisy, D=2,
                        lnz=float(np.log(0.25)),
@@ -151,7 +151,7 @@ def main():
     blocks = blocks[:n_blocks]
 
     # Warm-up: a tiny run to trigger jit compilation of the hot kernels.
-    warm = dict(blocks[1])  # 2-D constrained covers the full path
+    warm = dict(blocks[1 % len(blocks)])
     t_warm = time.monotonic()
     run_block(warm, seed=99, max_fun_evals=30)
     warm_s = time.monotonic() - t_warm
