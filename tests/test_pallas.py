@@ -1,0 +1,54 @@
+"""Pallas fused-acquisition kernel vs the XLA reference implementation
+(interpret mode on CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vbmc_tpu.gp import GPConfig
+from vbmc_tpu.gp.gp import gp_from_host
+from vbmc_tpu.vp import make_vp
+from vbmc_tpu.transforms import create_trinfo
+from vbmc_tpu.acquisitions import evaluate_acquisition, AcqState
+from vbmc_tpu.pallas_kernels import fused_prospective_acq
+
+
+def test_fused_acq_matches_xla(rng):
+    D, n, S, K, M = 3, 40, 4, 6, 512
+    cfg = GPConfig(D=D)
+    X = rng.uniform(-2, 2, (n, D))
+    y = -0.5 * np.sum(X ** 2, 1)
+    hyps = np.zeros((S, cfg.nhyp))
+    hyps[:, :D] = np.log(0.8) + 0.05 * rng.standard_normal((S, D))
+    hyps[:, D] = 0.1 * rng.standard_normal(S)
+    hyps[:, cfg.ncov] = np.log(0.05)
+    hyps[:, cfg.ncov + cfg.nnoise] = 0.3
+    hyps[:, cfg.ncov + cfg.nnoise + 1 + D:] = np.log(1.2)
+    gp = gp_from_host(cfg, X, y, None, hyps, n_bucket=64, s_bucket=S)
+
+    trinfo = create_trinfo([-np.inf] * D, [np.inf] * D, [-2.0] * D,
+                           [2.0] * D)
+    w = rng.random(K) + 0.3
+    vp = make_vp(trinfo, rng.uniform(-1, 1, (K, D)),
+                 0.4 + 0.2 * rng.random(K), np.ones(D), w=w / w.sum(),
+                 k_max=8)
+
+    Xs = jnp.asarray(rng.uniform(-2.5, 2.5, (M, D)))
+    dtype = gp.X.dtype
+    state = AcqState(
+        ymax=jnp.asarray(0.7, dtype=dtype),
+        tol_var=jnp.asarray(1e-4, dtype=dtype),
+        lb_eps_orig=jnp.full((D,), -jnp.inf, dtype=dtype),
+        ub_eps_orig=jnp.full((D,), jnp.inf, dtype=dtype),
+        gp_length_scale=jnp.ones(D, dtype=dtype),
+        var_log_joint=jnp.ones(S, dtype=dtype),
+        regularize=jnp.asarray(True))
+
+    ref = np.asarray(evaluate_acquisition(cfg, "prospective", Xs, vp, gp,
+                                          state))
+    got = np.asarray(fused_prospective_acq(cfg, Xs, gp, vp, 0.7, 1e-4,
+                                           interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
+    # Same winner matters most.
+    assert int(np.argmin(got)) == int(np.argmin(ref))
