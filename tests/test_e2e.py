@@ -46,7 +46,7 @@ def test_halfnormal_2d_constrained():
                 - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)))
 
     # Normalizer over the box: each dim contributes ~1/2 of the full Gaussian.
-    lnz = float(np.sum(np.log(0.5)))
+    lnz = D * float(np.log(0.5))
     mean_true = sd * np.sqrt(2 / np.pi)
 
     opts = VBMCOptions(display="off", max_fun_evals=80, seed=2,
