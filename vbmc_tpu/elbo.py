@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve
 
-from vbmc_tpu.gp.config import GPConfig, MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD, MEAN_SE
+from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
+                                MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
+                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
 from vbmc_tpu.gp.gp import GP
 
 _LOG2PI = 1.8378770664093453
@@ -105,11 +107,9 @@ def unpack_theta(flags: VPFlags, theta, K: int, D: int, mu0, sigma0, lam0,
 # Expected log joint under the GP (Bayesian quadrature)
 # ----------------------------------------------------------------------
 
-def _negquad_nu(cfg: GPConfig, hyp_mean, mu, sigma, lam):
-    """E_q[negquad mean] per (S, K): closed form (`gplogjoint.m:171-174`)."""
-    D = cfg.D
-    xm = hyp_mean[:, 1:D + 1]                      # (S, D)
-    omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])  # (S, D)
+def _negquad_nu_at(xm, omega2, mu, sigma, lam):
+    """E_q[-1/2 sum ((x - xm)/omega)^2] per (S, K): closed form
+    (`gplogjoint.m:171-174`). xm, omega2: (S, D)."""
     s2lam2 = (sigma[:, None] ** 2) * (lam[None, :] ** 2)  # (K, D)
     quad = (mu[None, :, :] ** 2 + s2lam2[None, :, :]
             - 2.0 * mu[None, :, :] * xm[:, None, :]
@@ -117,17 +117,29 @@ def _negquad_nu(cfg: GPConfig, hyp_mean, mu, sigma, lam):
     return -0.5 * jnp.sum(quad, axis=-1)           # (S, K)
 
 
-def _se_nu(cfg: GPConfig, hyp_mean, mu, sigma, lam):
-    """E_q[SE mean bump] per (S, K) (`gplogjoint.m:175-179`)."""
+def _negquad_nu(cfg: GPConfig, hyp_mean, mu, sigma, lam):
     D = cfg.D
-    xm = hyp_mean[:, 1:D + 1]
-    omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
-    h = jnp.exp(hyp_mean[:, 2 * D + 1])            # (S,)
+    xm = hyp_mean[:, 1:D + 1]                      # (S, D)
+    omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])  # (S, D)
+    return _negquad_nu_at(xm, omega2, mu, sigma, lam)
+
+
+def _se_bump_nu(xm, omega2, h, mu, sigma, lam):
+    """E_q[h * exp(-1/2 sum ((x - xm)/omega)^2)] per (S, K)
+    (`gplogjoint.m:175-179`). xm, omega2: (S, D); h: (S,)."""
     s2lam2 = (sigma[:, None] ** 2) * (lam[None, :] ** 2)
     tau2 = s2lam2[None, :, :] + omega2[:, None, :]  # (S, K, D)
     s2 = ((mu[None, :, :] - xm[:, None, :]) ** 2) / tau2
     lognf = 0.5 * jnp.sum(jnp.log(omega2[:, None, :]) - jnp.log(tau2), -1)
     return h[:, None] * jnp.exp(lognf - 0.5 * jnp.sum(s2, -1))
+
+
+def _se_nu(cfg: GPConfig, hyp_mean, mu, sigma, lam):
+    D = cfg.D
+    xm = hyp_mean[:, 1:D + 1]
+    omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+    h = jnp.exp(hyp_mean[:, 2 * D + 1])            # (S,)
+    return _se_bump_nu(xm, omega2, h, mu, sigma, lam)
 
 
 def _z_matrix(cfg: GPConfig, gp: GP, mu, sigma, lam):
@@ -158,6 +170,40 @@ def _z_matrix(cfg: GPConfig, gp: GP, mu, sigma, lam):
     return z * gp.mask.astype(z.dtype)[None, None, :], lnnf, tau2
 
 
+def _int_basis_expect(cfg: GPConfig, mu, sigma, lam):
+    """E_{q_k}[h(x)] for the integrated-mean polynomial basis under each
+    mixture component N(mu_k, sigma_k^2 Lambda^2) — closed form because the
+    component covariance is diagonal. Returns (K, Nb).
+
+    (New capability vs the reference: `misc/gplogjoint.m` has no integrated-
+    mean support, so reference VBMC cannot combine `gpIntMeanFun` with the
+    variational fit; here the quadrature is exact.)
+    """
+    from vbmc_tpu.gp.config import (INTMEAN_LINEAR, INTMEAN_QUAD,
+                                    INTMEAN_FULLQUAD)
+    import numpy as np
+    K_max = mu.shape[0]
+    cols = [jnp.ones((K_max, 1), dtype=mu.dtype)]
+    if cfg.intmean >= INTMEAN_LINEAR:
+        cols.append(mu)
+    if cfg.intmean >= INTMEAN_QUAD:
+        s2lam2 = (sigma[:, None] ** 2) * (lam[None, :] ** 2)
+        cols.append(mu * mu + s2lam2)
+    if cfg.intmean >= INTMEAN_FULLQUAD:
+        iu, ju = np.triu_indices(cfg.D, k=1)
+        cols.append(mu[:, iu] * mu[:, ju])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _intmean_r(cfg: GPConfig, gp: GP, mu, sigma, lam, z):
+    """Quadrature residual basis r_sk = E_k[h] - H B^{-1} E_k[k(.,X)],
+    the integrated-mean analogue of R(x) in `gplite_pred.m:89-94` pushed
+    through the component expectation. Returns (S, K, Nb)."""
+    hbar = _int_basis_expect(cfg, mu, sigma, lam)          # (K, Nb)
+    Hz = jnp.einsum("sbn,skn->skb", gp.HBinv, z)           # (S, K, Nb)
+    return hbar[None, :, :] - Hz
+
+
 def gplogjoint_I(cfg: GPConfig, gp: GP, mu, sigma, lam):
     """Per-sample, per-component expected log joint I_sk (S_max, K_max)."""
     z, _, _ = _z_matrix(cfg, gp, mu, sigma, lam)
@@ -169,8 +215,29 @@ def gplogjoint_I(cfg: GPConfig, gp: GP, mu, sigma, lam):
         I = I + hyp_mean[:, 0][:, None] + _negquad_nu(cfg, hyp_mean, mu, sigma, lam)
     elif cfg.meanfun == MEAN_SE:
         I = I + hyp_mean[:, 0][:, None] + _se_nu(cfg, hyp_mean, mu, sigma, lam)
+    elif cfg.meanfun == MEAN_NEGQUADSE:
+        D = cfg.D
+        xm = hyp_mean[:, 1:D + 1]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+        xm_se = hyp_mean[:, 2 * D + 1:3 * D + 1]
+        omega2_se = jnp.exp(2.0 * hyp_mean[:, 3 * D + 1:4 * D + 1])
+        h_se = hyp_mean[:, 4 * D + 1]              # raw height
+        I = (I + hyp_mean[:, 0][:, None]
+             + _negquad_nu_at(xm, omega2, mu, sigma, lam)
+             + _se_bump_nu(xm_se, omega2_se, h_se, mu, sigma, lam))
+    elif cfg.meanfun == MEAN_NEGQUADONLY:
+        omega2 = jnp.exp(2.0 * hyp_mean[:, :cfg.D])
+        I = I + _negquad_nu_at(jnp.zeros_like(omega2), omega2, mu, sigma, lam)
+    elif cfg.meanfun == MEAN_NEGQUADLINONLY:
+        xm = hyp_mean[:, :cfg.D]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, cfg.D:2 * cfg.D])
+        I = I + _negquad_nu_at(xm, omega2, mu, sigma, lam)
     elif cfg.meanfun != MEAN_ZERO:
-        raise ValueError("gplogjoint supports zero/const/negquad/se means")
+        raise ValueError("gplogjoint supports zero/const/negquad/se/"
+                         "negquadse/negquadonly/negquadlinonly means")
+    if cfg.nint > 0:
+        r = _intmean_r(cfg, gp, mu, sigma, lam, z)
+        I = I + jnp.einsum("skb,sb->sk", r, gp.betabar)
     return I
 
 
@@ -210,6 +277,11 @@ def gplogjoint_J(cfg: GPConfig, gp: GP, mu, sigma, lam, kmask):
 
     data_term = jax.vmap(corr)(gp.L, z)
     J = prior_term - data_term
+    if cfg.nint > 0:
+        # Integrated-mean covariance: + r_j^T A^{-1} r_k (the bilinear form
+        # factorizes through the double integral, so the correction is exact).
+        r = _intmean_r(cfg, gp, mu, sigma, lam, z)         # (S, K, Nb)
+        J = J + jnp.einsum("sjb,sbc,skc->sjk", r, gp.Ainv, r)
     mK = kmask.astype(J.dtype)
     return J * mK[None, :, None] * mK[None, None, :]
 

@@ -18,9 +18,27 @@ MEAN_ZERO = 0
 MEAN_CONST = 1
 MEAN_NEGQUAD = 4
 MEAN_SE = 6
+MEAN_NEGQUADSE = 8        # negquad + SE bump (cf. gplite_meanfun.m:456-480)
+MEAN_NEGQUADONLY = 16     # -1/2 sum (x/omega)^2, no offset (:524-530)
+MEAN_NEGQUADLINONLY = 20  # -1/2 sum ((x-xm)/omega)^2, no offset (:541-550)
 
 COV_SEARD = 1
 COV_MATERN5 = 3
+
+# Integrated (exactly marginalized) Bayesian-linear mean basis
+# (cf. `gplite/gplite_intmeanfun.m`): 0 off, 1 const, 2 linear,
+# 3 quadratic (diagonal), 4 full quadratic.
+INTMEAN_NONE = 0
+INTMEAN_CONST = 1
+INTMEAN_LINEAR = 2
+INTMEAN_QUAD = 3
+INTMEAN_FULLQUAD = 4
+
+# Output warps (cf. `gplite/outwarp_*.m`); ids match gp/outwarp.py.
+OUTWARP_NONE = 0
+OUTWARP_NEGPOW = 1
+OUTWARP_NEGPOWC1 = 2
+OUTWARP_NEGSCALEDPOW = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +51,11 @@ class GPConfig:
     const_noise: int = 1
     user_noise: int = 0
     output_noise: int = 0
+    # Integrated Bayesian-linear mean basis (exact marginalization under a
+    # vague coefficient prior); composes additively with `meanfun`.
+    intmean: int = INTMEAN_NONE
+    # Output warp ("fitness shaping") applied to the observations.
+    outwarp: int = OUTWARP_NONE
 
     @property
     def ncov(self) -> int:
@@ -59,11 +82,42 @@ class GPConfig:
             return 1 + 2 * self.D
         if self.meanfun == MEAN_SE:
             return 2 + 2 * self.D
+        if self.meanfun == MEAN_NEGQUADSE:
+            return 2 + 4 * self.D
+        if self.meanfun == MEAN_NEGQUADONLY:
+            return self.D
+        if self.meanfun == MEAN_NEGQUADLINONLY:
+            return 2 * self.D
         raise ValueError(f"unsupported meanfun {self.meanfun}")
 
     @property
+    def nint(self) -> int:
+        """Number of integrated-mean basis functions."""
+        if self.intmean == INTMEAN_NONE:
+            return 0
+        if self.intmean == INTMEAN_CONST:
+            return 1
+        if self.intmean == INTMEAN_LINEAR:
+            return 1 + self.D
+        if self.intmean == INTMEAN_QUAD:
+            return 1 + 2 * self.D
+        if self.intmean == INTMEAN_FULLQUAD:
+            return 1 + 2 * self.D + (self.D * (self.D - 1)) // 2
+        raise ValueError(f"unsupported intmean {self.intmean}")
+
+    @property
+    def noutwarp(self) -> int:
+        if self.outwarp == OUTWARP_NONE:
+            return 0
+        if self.outwarp in (OUTWARP_NEGPOW, OUTWARP_NEGPOWC1):
+            return 2
+        if self.outwarp == OUTWARP_NEGSCALEDPOW:
+            return 3
+        raise ValueError(f"unsupported outwarp {self.outwarp}")
+
+    @property
     def nhyp(self) -> int:
-        return self.ncov + self.nnoise + self.nmean
+        return self.ncov + self.nnoise + self.nmean + self.noutwarp
 
     # --- slices into the hyp vector -------------------------------------
     @property
@@ -80,4 +134,9 @@ class GPConfig:
 
     @property
     def sl_mean(self):
-        return slice(self.ncov + self.nnoise, self.nhyp)
+        return slice(self.ncov + self.nnoise,
+                     self.ncov + self.nnoise + self.nmean)
+
+    @property
+    def sl_outwarp(self):
+        return slice(self.ncov + self.nnoise + self.nmean, self.nhyp)

@@ -26,7 +26,10 @@ from jax.scipy.special import gammaln
 
 from vbmc_tpu.gp.config import GPConfig
 from vbmc_tpu.gp.kernels import kernel_cross
-from vbmc_tpu.gp.means import mean_function
+from vbmc_tpu.gp.means import mean_function, int_mean_basis
+from vbmc_tpu.gp.outwarp import (outwarp_direct, outwarp_deriv,
+                                 outwarp_inverse)
+
 from vbmc_tpu.gp.noise import noise_variance
 
 _LOG2PI = 1.8378770664093453
@@ -38,6 +41,29 @@ class Posterior(NamedTuple):
     Binv: jnp.ndarray    # (N,N) B^{-1} — hot paths become GEMMs on the MXU
     sn2: jnp.ndarray     # (N,)  per-point noise variance
     chol_ok: jnp.ndarray  # () bool — Cholesky succeeded without escalation
+    # Integrated-mean extras (None unless cfg.intmean > 0; cf. the
+    # `intmean` posterior fields of `gplite_post.m:174-197`):
+    betabar: jnp.ndarray = None   # (Nb,)   GLS estimate of basis coefficients
+    HBinv: jnp.ndarray = None     # (Nb,N)  H B^{-1}
+    Ainv: jnp.ndarray = None      # (Nb,Nb) (H B^{-1} H^T)^{-1}
+
+
+def warped_observations(cfg: GPConfig, hyp: jnp.ndarray, y, s2, mask):
+    """Apply the output warp to observations and user noise.
+
+    Returns (t, s2_warped, log_jacobian) where log_jacobian is the summed
+    masked log |dt/dy| (cf. `gplite_core.m:14-26,196-198`). Identity when
+    the config has no warp.
+    """
+    if cfg.outwarp == 0:
+        return y, s2, jnp.asarray(0.0, dtype=y.dtype)
+    hyp_ow = hyp[cfg.sl_outwarp]
+    t = outwarp_direct(cfg.outwarp, hyp_ow, y)
+    g = outwarp_deriv(cfg.outwarp, hyp_ow, y)
+    m = mask.astype(y.dtype)
+    log_jac = jnp.sum(jnp.log(jnp.abs(g) + jnp.finfo(y.dtype).tiny) * m)
+    s2w = None if s2 is None else s2 * g * g
+    return t * m, s2w, log_jac
 
 
 def gram_matrix(cfg: GPConfig, hyp: jnp.ndarray, X: jnp.ndarray,
@@ -50,6 +76,9 @@ def gram_matrix(cfg: GPConfig, hyp: jnp.ndarray, X: jnp.ndarray,
 
 
 def _system_matrix(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2, mask):
+    """``y`` here is the ORIGINAL observation vector (the output-dependent
+    noise feature keys on it even under an output warp, matching
+    `gplite_core.m:35`); ``s2`` must already be warp-scaled by the caller."""
     K = gram_matrix(cfg, hyp, X, mask)
     m = mask.astype(K.dtype)
     sn2 = noise_variance(cfg, hyp[cfg.sl_noise], X, y=y, s2=s2)
@@ -90,9 +119,10 @@ def robust_cholesky(B: jnp.ndarray):
 def build_posterior(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2, mask,
                     robust: bool = True) -> Posterior:
     """Posterior factorization for one hyperparameter vector."""
-    B, sn2 = _system_matrix(cfg, hyp, X, y, s2, mask)
+    t, s2w, _ = warped_observations(cfg, hyp, y, s2, mask)
+    B, sn2 = _system_matrix(cfg, hyp, X, y, s2w, mask)
     m = mask.astype(X.dtype)
-    r = (y - mean_function(cfg, hyp[cfg.sl_mean], X)) * m
+    r = (t - mean_function(cfg, hyp[cfg.sl_mean], X)) * m
     if robust:
         L, ok = robust_cholesky(B)
     else:
@@ -106,7 +136,20 @@ def build_posterior(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2, mask,
     # inside clamped quadratic forms.
     eye = jnp.eye(B.shape[0], dtype=B.dtype)
     Binv = cho_solve((L, True), eye)
-    return Posterior(alpha=alpha, L=L, Binv=Binv, sn2=sn2, chol_ok=ok)
+    betabar = HBinv = Ainv = None
+    if cfg.nint > 0:
+        # Integrated Bayesian-linear mean, vague coefficient prior: the GLS
+        # coefficient estimate and its covariance factor (cf. the `intmean`
+        # posterior block of `gplite_post.m` / `gplite_core.m:106-124`).
+        H = int_mean_basis(cfg, X) * m[:, None]          # (N, Nb)
+        BiH = cho_solve((L, True), H)                    # (N, Nb)
+        A = H.T @ BiH                                    # (Nb, Nb)
+        LA = jnp.linalg.cholesky(A)
+        Ainv = cho_solve((LA, True), jnp.eye(cfg.nint, dtype=B.dtype))
+        betabar = Ainv @ (H.T @ alpha)
+        HBinv = BiH.T
+    return Posterior(alpha=alpha, L=L, Binv=Binv, sn2=sn2, chol_ok=ok,
+                     betabar=betabar, HBinv=HBinv, Ainv=Ainv)
 
 
 def neg_log_marginal_likelihood(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2,
@@ -114,18 +157,36 @@ def neg_log_marginal_likelihood(cfg: GPConfig, hyp: jnp.ndarray, X, y, s2,
     """Masked negative log marginal likelihood (differentiable).
 
     Padded rows contribute 0: their residual is zero and their Cholesky
-    diagonal is one.
+    diagonal is one. With an output warp the likelihood is over the warped
+    observations plus the change-of-variables Jacobian
+    (`gplite_core.m:196-198`); with an integrated mean the basis
+    coefficients are marginalized exactly under a vague prior
+    (`gplite_core.m:133-189`, vague-all branch).
     """
-    B, _ = _system_matrix(cfg, hyp, X, y, s2, mask)
+    t, s2w, log_jac = warped_observations(cfg, hyp, y, s2, mask)
+    B, _ = _system_matrix(cfg, hyp, X, y, s2w, mask)
     m = mask.astype(X.dtype)
-    r = (y - mean_function(cfg, hyp[cfg.sl_mean], X)) * m
+    r = (t - mean_function(cfg, hyp[cfg.sl_mean], X)) * m
     L = jnp.linalg.cholesky(B)
     a = cho_solve((L, True), r)
     n_real = jnp.sum(m)
     nlZ = (0.5 * jnp.dot(r, a)
            + jnp.sum(jnp.log(jnp.diagonal(L)) * m)
            + 0.5 * n_real * _LOG2PI)
-    return nlZ
+    if cfg.nint > 0:
+        # Vague-prior marginalization of the basis coefficients:
+        # nlZ += -1/2 u^T A^{-1} u + 1/2 log|A| - Nb/2 log(2pi),
+        # with A = H B^{-1} H^T and u = H B^{-1} r.
+        H = int_mean_basis(cfg, X) * m[:, None]          # (N, Nb)
+        BiH = cho_solve((L, True), H)
+        A = H.T @ BiH
+        u = H.T @ a
+        LA = jnp.linalg.cholesky(A)
+        w = solve_triangular(LA, u, lower=True)
+        nlZ = (nlZ - 0.5 * jnp.dot(w, w)
+               + jnp.sum(jnp.log(jnp.diagonal(LA)))
+               - 0.5 * cfg.nint * _LOG2PI)
+    return nlZ - log_jac
 
 
 def hyperprior_logpdf(prior, hyp: jnp.ndarray) -> jnp.ndarray:
@@ -168,6 +229,10 @@ def predict_one(cfg: GPConfig, hyp: jnp.ndarray, post: Posterior, X, y, mask,
 
     GEMM-shaped: k(X,X*) products against the stored B^{-1} instead of
     triangular solves. Returns (fmu (M,), fs2 (M,)).
+
+    Integrated-mean correction per `gplite_pred.m:89-94,110-118`; output
+    warp adjustment (inverse-warp the mean, delta-method variance) per
+    `gplite_pred.m:130-149`.
     """
     m = mask.astype(X.dtype)
     ks = kernel_cross(cfg, hyp, X, Xstar) * m[:, None]     # (N, M)
@@ -175,4 +240,14 @@ def predict_one(cfg: GPConfig, hyp: jnp.ndarray, post: Posterior, X, y, mask,
     qf = jnp.sum(ks * (post.Binv @ ks), axis=0)            # (M,)
     kss = jnp.exp(2.0 * hyp[cfg.idx_log_sf])
     fs2 = jnp.maximum(kss - qf, 0.0)
+    if cfg.nint > 0:
+        hs = int_mean_basis(cfg, Xstar)                    # (M, Nb)
+        R = hs - (post.HBinv @ ks).T                       # (M, Nb)
+        fmu = fmu + R @ post.betabar
+        fs2 = fs2 + jnp.sum(R * (R @ post.Ainv), axis=1)
+    if cfg.outwarp != 0:
+        hyp_ow = hyp[cfg.sl_outwarp]
+        fmu = outwarp_inverse(cfg.outwarp, hyp_ow, fmu)
+        g = outwarp_deriv(cfg.outwarp, hyp_ow, fmu)
+        fs2 = fs2 / jnp.maximum(g * g, jnp.finfo(fs2.dtype).tiny)
     return fmu, fs2

@@ -50,6 +50,11 @@ class TrainOptions:
     tol_sd: float = 0.1
     uncertainty_level: int = 0   # 0 exact; 1 infer noise; 2 provided noise
     upper_length_factor: float = 0.0
+    # Output-warp ("fitness shaping") threshold state (cf.
+    # `gptrain_vbmc.m:246-270`): delta below ymax where warping may engage,
+    # and the scale of the half-Cauchy prior on the threshold.
+    outwarp_delta: Optional[float] = None
+    outwarp_thresh_base: Optional[float] = None
 
 
 def get_hpd(X: np.ndarray, y: np.ndarray, frac: float = 0.8):
@@ -155,6 +160,40 @@ def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     elif cfg.meanfun == MEAN_SE:
         x0[i_m] = y.min()
         ub[i_m] = yh.min()
+
+    # --- output warp (gptrain:246-270) ---
+    if cfg.noutwarp > 0:
+        from vbmc_tpu.gp.outwarp import outwarp_info
+        oinfo = outwarp_info(cfg.outwarp, yh)
+        sl = cfg.sl_outwarp
+        lb[sl], ub[sl] = oinfo["lb"], oinfo["ub"]
+        plb[sl], pub[sl] = oinfo["plb"], oinfo["pub"]
+        x0[sl] = oinfo["x0"]
+        i_w = cfg.ncov + cfg.nnoise + cfg.nmean
+        delta = opts.outwarp_delta if opts.outwarp_delta is not None \
+            else 10.0 * D
+        base = opts.outwarp_thresh_base if opts.outwarp_thresh_base \
+            is not None else 10.0 * D
+        y_all = np.asarray(y, float)
+        # Threshold: engages at most `delta` below ymax; half-Cauchy prior.
+        ub[i_w] = y_all.max() - delta
+        lb[i_w] = min(y_all.min(), y_all.max() - 2 * delta)
+        plb[i_w] = min(plb[i_w], ub[i_w])
+        pub[i_w] = min(pub[i_w], ub[i_w])
+        mu[i_w] = y_all.max() - delta
+        sigma[i_w] = base
+        df[i_w] = 1.0
+        if cfg.outwarp in (1, 2):          # negpow / negpowc1: [y0, log k]
+            ub[i_w + 1] = np.log(2.0)
+            mu[i_w + 1] = 0.0
+            sigma[i_w + 1] = np.log(2.0)
+        else:                              # negscaledpow: [y0, log a, log k]
+            mu[i_w + 1] = 0.0
+            sigma[i_w + 1] = np.log(2.0)
+            ub[i_w + 2] = 0.0
+            mu[i_w + 2] = 0.0
+            sigma[i_w + 2] = np.log(2.0)
+        x0[sl] = np.minimum(x0[sl], ub[sl] - 1e-6)
 
     nanmask = np.isnan(x0)
     x0[nanmask] = 0.5 * (plb[nanmask] + pub[nanmask])

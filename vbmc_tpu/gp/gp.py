@@ -39,6 +39,10 @@ class GP(NamedTuple):
     L: jnp.ndarray         # (S_max, N_max, N_max)
     Binv: jnp.ndarray      # (S_max, N_max, N_max) explicit inverse (GEMM paths)
     sn2: jnp.ndarray       # (S_max, N_max)
+    # Integrated-mean extras (None unless cfg.intmean > 0):
+    betabar: jnp.ndarray = None   # (S_max, Nb)
+    HBinv: jnp.ndarray = None     # (S_max, Nb, N_max)
+    Ainv: jnp.ndarray = None      # (S_max, Nb, Nb)
 
     @property
     def n_max(self) -> int:
@@ -70,7 +74,8 @@ def build_gp(cfg: GPConfig, X, y, s2, mask, hyp_samples, hyp_mask) -> GP:
         lambda h: core.build_posterior(cfg, h, X, y, s2, mask, robust=True)
     )(hyp_samples)
     return GP(X=X, y=y, s2=s2, mask=mask, hyp=hyp_samples, hyp_mask=hyp_mask,
-              alpha=posts.alpha, L=posts.L, Binv=posts.Binv, sn2=posts.sn2)
+              alpha=posts.alpha, L=posts.L, Binv=posts.Binv, sn2=posts.sn2,
+              betabar=posts.betabar, HBinv=posts.HBinv, Ainv=posts.Ainv)
 
 
 def gp_from_host(cfg: GPConfig, X: np.ndarray, y: np.ndarray,

@@ -14,7 +14,32 @@ import jax.numpy as jnp
 
 from vbmc_tpu.gp.config import (
     GPConfig, MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD, MEAN_SE,
+    MEAN_NEGQUADSE, MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY,
+    INTMEAN_NONE, INTMEAN_CONST, INTMEAN_LINEAR, INTMEAN_QUAD,
+    INTMEAN_FULLQUAD,
 )
+
+
+def int_mean_basis(cfg: GPConfig, X: jnp.ndarray) -> jnp.ndarray:
+    """Basis functions h(x) of the integrated Bayesian-linear mean,
+    evaluated at rows of X. Returns (N, Nb) (cf. `gplite_intmeanfun.m`,
+    which builds the transposed (Nb, N) layout).
+
+    Basis: [1 | x_1..x_D | x_1^2..x_D^2 | x_i * x_j (i<j)] truncated per
+    the `cfg.intmean` level.
+    """
+    if cfg.intmean == INTMEAN_NONE:
+        return jnp.zeros((X.shape[0], 0), dtype=X.dtype)
+    cols = [jnp.ones((X.shape[0], 1), dtype=X.dtype)]
+    if cfg.intmean >= INTMEAN_LINEAR:
+        cols.append(X)
+    if cfg.intmean >= INTMEAN_QUAD:
+        cols.append(X * X)
+    if cfg.intmean >= INTMEAN_FULLQUAD:
+        D = cfg.D
+        iu, ju = np.triu_indices(D, k=1)
+        cols.append(X[:, iu] * X[:, ju])
+    return jnp.concatenate(cols, axis=1)
 
 
 def mean_function(cfg: GPConfig, hyp_mean: jnp.ndarray, X: jnp.ndarray):
@@ -37,6 +62,27 @@ def mean_function(cfg: GPConfig, hyp_mean: jnp.ndarray, X: jnp.ndarray):
         h = jnp.exp(hyp_mean[2 * D + 1])
         z2 = ((X - xm) / omega) ** 2
         return m0 + h * jnp.exp(-0.5 * jnp.sum(z2, axis=-1))
+    if cfg.meanfun == MEAN_NEGQUADSE:
+        # Negative quadratic plus an SE bump with its own location/scale;
+        # the bump height h_se is a RAW hyperparameter (can be negative),
+        # unlike MEAN_SE (`gplite_meanfun.m:456-480`).
+        m0 = hyp_mean[0]
+        xm = hyp_mean[1:D + 1]
+        omega = jnp.exp(hyp_mean[D + 1:2 * D + 1])
+        xm_se = hyp_mean[2 * D + 1:3 * D + 1]
+        omega_se = jnp.exp(hyp_mean[3 * D + 1:4 * D + 1])
+        h_se = hyp_mean[4 * D + 1]
+        z2 = ((X - xm) / omega) ** 2
+        z2_se = ((X - xm_se) / omega_se) ** 2
+        return (m0 - 0.5 * jnp.sum(z2, axis=-1)
+                + h_se * jnp.exp(-0.5 * jnp.sum(z2_se, axis=-1)))
+    if cfg.meanfun == MEAN_NEGQUADONLY:
+        omega = jnp.exp(hyp_mean[:D])
+        return -0.5 * jnp.sum((X / omega) ** 2, axis=-1)
+    if cfg.meanfun == MEAN_NEGQUADLINONLY:
+        xm = hyp_mean[:D]
+        omega = jnp.exp(hyp_mean[D:2 * D])
+        return -0.5 * jnp.sum(((X - xm) / omega) ** 2, axis=-1)
     raise ValueError(f"unsupported meanfun {cfg.meanfun}")
 
 
@@ -62,6 +108,28 @@ def mean_info(cfg: GPConfig, X: np.ndarray, y: np.ndarray):
         y = np.array([0.0, 1.0])
     w = np.maximum(X.max(axis=0) - X.min(axis=0), 1e-10)
     h = max(y.max() - y.min(), 1e-10)
+
+    def _omega_block(sl):
+        lb[sl] = np.log(w) + np.log(ToL)
+        ub[sl] = np.log(w) + np.log(Big)
+        plb[sl] = np.log(w) + 0.5 * np.log(ToL)
+        pub[sl] = np.log(w)
+        x0[sl] = np.log(np.maximum(X.std(axis=0, ddof=1), 1e-10))
+
+    def _xm_block(sl):
+        lb[sl] = X.min(axis=0) - 0.5 * w
+        ub[sl] = X.max(axis=0) + 0.5 * w
+        plb[sl] = X.min(axis=0)
+        pub[sl] = X.max(axis=0)
+        x0[sl] = np.median(X, axis=0)
+
+    if cfg.meanfun == MEAN_NEGQUADONLY:       # omega only, no offset
+        _omega_block(slice(0, D))
+        return dict(lb=lb, ub=ub, plb=plb, pub=pub, x0=x0)
+    if cfg.meanfun == MEAN_NEGQUADLINONLY:    # xm + omega, no offset
+        _xm_block(slice(0, D))
+        _omega_block(slice(D, 2 * D))
+        return dict(lb=lb, ub=ub, plb=plb, pub=pub, x0=x0)
 
     # m0
     lb[0] = y.min() - 0.5 * h
@@ -109,6 +177,25 @@ def mean_info(cfg: GPConfig, X: np.ndarray, y: np.ndarray):
         plb[2 * D + 1] = np.log(h) + 0.5 * np.log(ToL)
         pub[2 * D + 1] = np.log(h)
         x0[2 * D + 1] = np.log(max(np.std(y, ddof=1), 1e-10))
+    elif cfg.meanfun == MEAN_NEGQUADSE:
+        # m0 + negquad block as for MEAN_NEGQUAD...
+        lb[0] = y.min()
+        ub[0] = y.max() + h
+        plb[0] = np.median(y)
+        pub[0] = y.max()
+        x0[0] = np.quantile(y, 0.9)
+        _xm_block(slice(1, D + 1))
+        _omega_block(slice(D + 1, 2 * D + 1))
+        # ...plus the SE-bump location/scale and raw height
+        # (`gplite_meanfun.m:244-263`).
+        _xm_block(slice(2 * D + 1, 3 * D + 1))
+        x0[2 * D + 1:3 * D + 1] = X[np.argmax(y)]
+        _omega_block(slice(3 * D + 1, 4 * D + 1))
+        lb[4 * D + 1] = -Big * h
+        ub[4 * D + 1] = Big * h
+        plb[4 * D + 1] = -h
+        pub[4 * D + 1] = h
+        x0[4 * D + 1] = min(np.std(y, ddof=1), h)
 
     nan = np.isnan(x0)
     x0[nan] = 0.5 * (plb[nan] + pub[nan])

@@ -18,12 +18,14 @@ def gp_predict_full(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray):
     Returns (fmu (S_max, M), fs2 (S_max, M)); masked samples included in the
     buffers — use ``gp.hyp_mask`` to reduce.
     """
-    def one(hyp, alpha, L, Binv, _sn2):
+    def one(hyp, alpha, L, Binv, _sn2, betabar, HBinv, Ainv):
         post = core.Posterior(alpha=alpha, L=L, Binv=Binv, sn2=_sn2,
-                              chol_ok=jnp.asarray(True))
+                              chol_ok=jnp.asarray(True), betabar=betabar,
+                              HBinv=HBinv, Ainv=Ainv)
         return core.predict_one(cfg, hyp, post, gp.X, gp.y, gp.mask, Xstar)
 
-    fmu, fs2 = jax.vmap(one)(gp.hyp, gp.alpha, gp.L, gp.Binv, gp.sn2)
+    fmu, fs2 = jax.vmap(one)(gp.hyp, gp.alpha, gp.L, gp.Binv, gp.sn2,
+                             gp.betabar, gp.HBinv, gp.Ainv)
     return fmu, fs2
 
 

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve
 
 from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
-                                MEAN_NEGQUAD, MEAN_SE)
+                                MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
+                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
 from vbmc_tpu.gp.gp import GP
 
 
@@ -65,8 +66,52 @@ def gp_quad(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray, delta: jnp.ndarray,
         lognf = 0.5 * jnp.sum(jnp.log(omega2[:, None, :]) - jnp.log(t2), -1)
         fmu = fmu + hyp_mean[:, 0][:, None] + \
             h[:, None] * jnp.exp(lognf - 0.5 * jnp.sum(s2, -1))
+    elif cfg.meanfun == MEAN_NEGQUADSE:
+        xm = hyp_mean[:, 1:D + 1]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+        q = ((Xstar[None, :, :] - xm[:, None, :]) ** 2
+             + d2[None, None, :]) / omega2[:, None, :]
+        xm_se = hyp_mean[:, 2 * D + 1:3 * D + 1]
+        omega2_se = jnp.exp(2.0 * hyp_mean[:, 3 * D + 1:4 * D + 1])
+        h_se = hyp_mean[:, 4 * D + 1]
+        t2 = d2[None, None, :] + omega2_se[:, None, :]
+        s2m = ((Xstar[None, :, :] - xm_se[:, None, :]) ** 2) / t2
+        lognf = 0.5 * jnp.sum(jnp.log(omega2_se[:, None, :]) - jnp.log(t2),
+                              -1)
+        fmu = (fmu + hyp_mean[:, 0][:, None] - 0.5 * jnp.sum(q, -1)
+               + h_se[:, None] * jnp.exp(lognf - 0.5 * jnp.sum(s2m, -1)))
+    elif cfg.meanfun == MEAN_NEGQUADONLY:
+        omega2 = jnp.exp(2.0 * hyp_mean[:, :D])
+        q = (Xstar[None, :, :] ** 2 + d2[None, None, :]) / omega2[:, None, :]
+        fmu = fmu - 0.5 * jnp.sum(q, -1)
+    elif cfg.meanfun == MEAN_NEGQUADLINONLY:
+        xm = hyp_mean[:, :D]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D:2 * D])
+        q = ((Xstar[None, :, :] - xm[:, None, :]) ** 2
+             + d2[None, None, :]) / omega2[:, None, :]
+        fmu = fmu - 0.5 * jnp.sum(q, -1)
     elif cfg.meanfun != MEAN_ZERO:
-        raise ValueError("gp_quad supports zero/const/negquad/se means")
+        raise ValueError("gp_quad supports zero/const/negquad/se/negquadse/"
+                         "negquadonly/negquadlinonly means")
+
+    r_int = None
+    if cfg.nint > 0:
+        # Integrated-mean correction: E_{N(x*,delta^2)}[h] is closed-form
+        # for the polynomial basis (diagonal smoothing covariance).
+        from vbmc_tpu.gp.config import (INTMEAN_LINEAR, INTMEAN_QUAD,
+                                        INTMEAN_FULLQUAD)
+        import numpy as np
+        cols = [jnp.ones((M, 1), dtype=dtype)]
+        if cfg.intmean >= INTMEAN_LINEAR:
+            cols.append(Xstar)
+        if cfg.intmean >= INTMEAN_QUAD:
+            cols.append(Xstar * Xstar + d2[None, :])
+        if cfg.intmean >= INTMEAN_FULLQUAD:
+            iu, ju = np.triu_indices(D, k=1)
+            cols.append(Xstar[:, iu] * Xstar[:, ju])
+        hbar = jnp.concatenate(cols, axis=1)               # (M, Nb)
+        r_int = hbar[None, :, :] - jnp.einsum("sbn,smn->smb", gp.HBinv, z)
+        fmu = fmu + jnp.einsum("smb,sb->sm", r_int, gp.betabar)
 
     if not compute_var:
         return fmu, None
@@ -77,6 +122,8 @@ def gp_quad(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray, delta: jnp.ndarray,
 
     t_zb = jnp.einsum("smn,snk->smk", z, gp.Binv)
     data = jnp.einsum("smn,smn->sm", t_zb, z)
-    fs2 = jnp.maximum(jnp.exp(lnnf_kk)[:, None] - data,
-                      jnp.finfo(dtype).eps)
+    fs2 = jnp.exp(lnnf_kk)[:, None] - data
+    if r_int is not None:
+        fs2 = fs2 + jnp.einsum("smb,sbc,smc->sm", r_int, gp.Ainv, r_int)
+    fs2 = jnp.maximum(fs2, jnp.finfo(dtype).eps)
     return fmu, fs2

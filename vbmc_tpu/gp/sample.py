@@ -26,11 +26,14 @@ def _gp_mcmc(cfg: GPConfig, gp: GP, key, x0s, lb, ub, n_steps: int,
     """Ensemble-slice MCMC on log density = posterior mean (+ beta * SD)."""
     def logpdf(x):
         fmu, fs2 = jax.vmap(
-            lambda hyp, alpha, L, Binv, sn2: core.predict_one(
+            lambda hyp, alpha, L, Binv, sn2, betabar, HBinv, Ainv:
+            core.predict_one(
                 cfg, hyp,
-                core.Posterior(alpha, L, Binv, sn2, jnp.asarray(True)),
+                core.Posterior(alpha, L, Binv, sn2, jnp.asarray(True),
+                               betabar=betabar, HBinv=HBinv, Ainv=Ainv),
                 gp.X, gp.y, gp.mask, x[None, :])
-        )(gp.hyp, gp.alpha, gp.L, gp.Binv, gp.sn2)
+        )(gp.hyp, gp.alpha, gp.L, gp.Binv, gp.sn2, gp.betabar, gp.HBinv,
+          gp.Ainv)
         m = gp.hyp_mask.astype(x.dtype)
         ns = jnp.maximum(jnp.sum(m), 1.0)
         fbar = jnp.sum(fmu[:, 0] * m) / ns

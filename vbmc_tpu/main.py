@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from vbmc_tpu.options import VBMCOptions, ResolvedOptions
 from vbmc_tpu.transforms import create_trinfo, direct, LOGIT, PROBIT, STUDENT4
 from vbmc_tpu.function_logger import FunctionLogger
-from vbmc_tpu.gp.config import GPConfig, MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD, MEAN_SE
+from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
+                                MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
+                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
 from vbmc_tpu.gp.fit import train_gp, TrainOptions, get_hpd
 from vbmc_tpu.gp.predict import gp_predict
 from vbmc_tpu.vp import (VariationalPosterior, make_vp, vp_moments, vp_kldiv,
@@ -33,9 +35,13 @@ from vbmc_tpu import state as st
 from vbmc_tpu.utils.math import bucket_k, mvn_kl
 
 _MEANFUN_IDS = {"zero": MEAN_ZERO, "const": MEAN_CONST,
-                "negquad": MEAN_NEGQUAD, "se": MEAN_SE}
+                "negquad": MEAN_NEGQUAD, "se": MEAN_SE,
+                "negquadse": MEAN_NEGQUADSE,
+                "negquadonly": MEAN_NEGQUADONLY,
+                "negquadlinonly": MEAN_NEGQUADLINONLY}
 _TRANSFORM_IDS = {"logit": LOGIT, "probit": PROBIT, "norminv": PROBIT,
                   "student4": STUDENT4}
+_OUTWARP_IDS = {"negpow": 1, "negpowc1": 2, "negscaledpow": 3}
 
 
 @dataclasses.dataclass
@@ -175,7 +181,9 @@ def _gp_train_options(state: st.OptimState, stats: st.Stats,
         length_prior_std=options.gp_length_prior_std,
         quadratic_mean_bound=options.gp_quadratic_mean_bound,
         tol_sd=options.tol_sd, uncertainty_level=uncertainty_level,
-        upper_length_factor=options.upper_gp_length_factor)
+        upper_length_factor=options.upper_gp_length_factor,
+        outwarp_delta=state.outwarp_delta,
+        outwarp_thresh_base=options.out_warp_thresh_base)
 
 
 def _update_hyp_runcov(state: st.OptimState, hyp_full: np.ndarray,
@@ -211,13 +219,21 @@ def _estimate_sn2hpd(cfg: GPConfig, gp, logger) -> float:
 
 def _predict_padded(cfg, gp, X: np.ndarray):
     """GP predictive summary at host points, padded to a bucket so the
-    jitted kernel compiles a bounded number of variants."""
+    jitted kernel compiles a bounded number of variants. Point sets larger
+    than the top bucket are processed in top-bucket chunks."""
     from vbmc_tpu.gp.predict import gp_predict_jit
-    from vbmc_tpu.utils.math import bucket_n, pad_to
+    from vbmc_tpu.utils.math import bucket_n, pad_to, N_BUCKETS
 
+    X = np.asarray(X, float)
     n = X.shape[0]
+    top = N_BUCKETS[-1]
+    if n > top:
+        outs = [_predict_padded(cfg, gp, X[i:i + top])
+                for i in range(0, n, top)]
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
     nb = bucket_n(n)
-    Xp = jnp.asarray(pad_to(np.asarray(X, float), nb), dtype=gp.X.dtype)
+    Xp = jnp.asarray(pad_to(X, nb), dtype=gp.X.dtype)
     fbar, vtot, _, _ = gp_predict_jit(cfg, gp, Xp)
     return np.asarray(fbar)[:n], np.asarray(vtot)[:n]
 
@@ -309,7 +325,10 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         user_noise={0: 0, 1: 2, 2: 1}[uncertainty_level]
         if not opt.noise_shaping else max(
             {0: 0, 1: 2, 2: 1}[uncertainty_level], 1),
-        output_noise=0)
+        output_noise=0,
+        intmean=int(opt.gp_int_mean_fun),
+        outwarp=_OUTWARP_IDS[opt.gp_out_warp_fun]
+        if opt.fitness_shaping else 0)
 
     # Initial variational posterior: K_warmup comps at x0 (+tiny jitter).
     rng = np.random.default_rng(opt.seed)
@@ -321,7 +340,9 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
     state = st.OptimState(warmup=opt.warmup, vp_K=K,
                           entropy_switch=(opt.entropy_switch
-                                          and D >= opt.det_entropy_min_d))
+                                          and D >= opt.det_entropy_min_d),
+                          outwarp_delta=(opt.out_warp_thresh_base
+                                         if opt.fitness_shaping else None))
     if opt.ns_gp_max <= 0:
         state.stop_sampling = math.inf
     stats = st.Stats()
@@ -625,6 +646,19 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             if not state.warmup:
                 state.hyp_runcov = None
         stats.last.warmup = state.warmup
+
+        # Fitness-shaping threshold check (vbmc.m:838-846): raise the warp
+        # threshold when the posterior's low-density tail reaches too far
+        # below ymax.
+        if (state.outwarp_delta is not None
+                and state.R < opt.warp_tol_reliability):
+            key, k_ow = jax.random.split(key)
+            Xrnd = np.asarray(vp_rnd(vp, k_ow, 2 ** 14, orig_flag=False))
+            ymu, _ = _predict_padded(cfg, gp, Xrnd)
+            ydelta = max(0.0, logger.ymax - float(np.quantile(ymu, 1e-3)))
+            if (ydelta > state.outwarp_delta * opt.out_warp_thresh_tol
+                    and state.R < 1):
+                state.outwarp_delta *= opt.out_warp_thresh_mult
 
         # Hedge reward: ELCBO improvement over the previous iteration
         # (`vbmc.m:848-850`, `acqhedge_vbmc.m:28-56`).

@@ -149,6 +149,7 @@ class VBMCOptions:
     gp_quadratic_mean_bound: bool = True
     bandwidth: float = 0.0
     fitness_shaping: bool = False
+    gp_out_warp_fun: str = "negpowc1"   # negpow | negpowc1 | negscaledpow
     out_warp_thresh_base: Optional[float] = None  # 10*D
     out_warp_thresh_mult: float = 1.25
     out_warp_thresh_tol: float = 0.8

@@ -81,6 +81,9 @@ class OptimState:
     last_run_avg: float = math.nan
     hyp_runcov: Optional[np.ndarray] = None
     lcbmax_vec: Optional[np.ndarray] = None
+    # Fitness-shaping (output warp) threshold below ymax; None when off
+    # (cf. `setupvars_vbmc.m:303-306`, adapted at `vbmc.m:838-846`).
+    outwarp_delta: Optional[float] = None
 
 
 # ----------------------------------------------------------------------
