@@ -89,6 +89,12 @@ def main():
     flops = S * (2 * N * M * D + 2 * N * N * M + 4 * N * M) + 2 * K * M * D
     results.append(("acquisition_sweep_8k", t, flops))
 
+    # 2b. fused Pallas acquisition sweep (TPU only).
+    if dev == "tpu" and M % 256 == 0:
+        from vbmc_tpu.pallas_kernels import fused_prospective_acq
+        t = _time(lambda: fused_prospective_acq(cfg, Xs, gp, vp, 0.0, 1e-4))
+        results.append(("acquisition_sweep_8k_pallas", t, flops))
+
     # 3. ELBO value+grad
     flags = eb.VPFlags(opt_weights=True)
     eta = jnp.zeros(K, dtype=dtype)

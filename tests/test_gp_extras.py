@@ -297,6 +297,57 @@ def test_extra_meanfun_quadrature_matches_mc(meanname, rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_acquisition_bandwidth_smoothing(rng):
+    """evaluate_acquisition with smoothing: delta -> 0 approaches the
+    unsmoothed sweep; a short vbmc run with bandwidth > 0 stays sane."""
+    from vbmc_tpu.acquisitions import evaluate_acquisition, AcqState
+    from vbmc_tpu.vp import make_vp
+    from vbmc_tpu.transforms import create_trinfo
+    D, n, S, K, M = 2, 20, 2, 4, 64
+    cfg = GPConfig(D=D)
+    X = rng.uniform(-2, 2, (n, D))
+    y = -0.5 * np.sum(X ** 2, 1)
+    hyps = np.zeros((S, cfg.nhyp))
+    hyps[:, cfg.ncov] = np.log(0.05)
+    hyps[:, cfg.ncov + cfg.nnoise + 1 + D:] = np.log(1.2)
+    gp = gp_from_host(cfg, X, y, None, hyps, 32, S)
+    trinfo = create_trinfo([-np.inf] * D, [np.inf] * D, [-2.0] * D,
+                           [2.0] * D)
+    w = rng.random(K) + 0.3
+    vp = make_vp(trinfo, rng.uniform(-1, 1, (K, D)),
+                 0.4 + 0.2 * rng.random(K), np.ones(D), w=w / w.sum(),
+                 k_max=8)
+    Xs = jnp.asarray(rng.uniform(-2, 2, (M, D)))
+    dtype = gp.X.dtype
+    state = AcqState(
+        ymax=jnp.asarray(0.0, dtype=dtype),
+        tol_var=jnp.asarray(1e-4, dtype=dtype),
+        lb_eps_orig=jnp.full((D,), -jnp.inf, dtype=dtype),
+        ub_eps_orig=jnp.full((D,), jnp.inf, dtype=dtype),
+        gp_length_scale=jnp.ones(D, dtype=dtype),
+        var_log_joint=jnp.ones(S, dtype=dtype),
+        regularize=jnp.asarray(True),
+        delta=jnp.full(D, 1e-6, dtype=dtype))
+    plain = np.asarray(evaluate_acquisition(cfg, "prospective", Xs, vp, gp,
+                                            state))
+    smoothed = np.asarray(evaluate_acquisition(cfg, "prospective", Xs, vp,
+                                               gp, state, smooth=True))
+    np.testing.assert_allclose(smoothed, plain, rtol=5e-3, atol=1e-12)
+
+    from vbmc_tpu import vbmc, VBMCOptions
+    sd = np.array([1.0, 0.8])
+
+    def logp(x):
+        return float(-0.5 * np.sum((x / sd) ** 2) - np.log(2 * np.pi)
+                     - np.sum(np.log(sd)))
+
+    opts = VBMCOptions(display="off", max_fun_evals=40, seed=6,
+                       min_final_components=10, bandwidth=0.01)
+    res = vbmc(logp, x0=np.zeros(2), plb=np.full(2, -3.0),
+               pub=np.full(2, 3.0), options=opts)
+    assert np.isfinite(res.elbo) and abs(res.elbo) < 1.0
+
+
 def test_vbmc_run_with_intmean(rng):
     """End-to-end smoke: a short VBMC run with the integrated linear mean
     enabled still recovers a 2-D Gaussian."""

@@ -52,3 +52,10 @@ def test_fused_acq_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
     # Same winner matters most.
     assert int(np.argmin(got)) == int(np.argmin(ref))
+
+    # The sweep dispatcher must agree with the XLA path (on CPU it falls
+    # back to it; on TPU it routes to the fused kernel).
+    from vbmc_tpu.acquisitions import sweep_acquisition
+    via_dispatch = np.asarray(sweep_acquisition(cfg, "prospective", Xs, vp,
+                                                gp, state))
+    np.testing.assert_allclose(via_dispatch, ref, rtol=1e-6)

@@ -40,6 +40,9 @@ class AcqState(NamedTuple):
     gp_length_scale: jnp.ndarray  # (D,) geometric-mean GP length scales
     var_log_joint: jnp.ndarray   # (S_max,) per-sample var of log joint (eig)
     regularize: jnp.ndarray      # () bool
+    # Bandwidth smoothing SDs (options.bandwidth * (PUB-PLB), the vp.delta
+    # of `acqwrapper_vbmc.m:12-15`); None/zeros = off.
+    delta: jnp.ndarray = None
 
 
 ACQ_INFO = {
@@ -75,15 +78,31 @@ def _nearest_noise(cfg: GPConfig, gp: GP, Xs, state: AcqState):
     return sn2_mean[pos]
 
 
-@partial(jax.jit, static_argnames=("cfg", "name"))
+@partial(jax.jit, static_argnames=("cfg", "name", "smooth"))
 def evaluate_acquisition(cfg: GPConfig, name: str, Xs: jnp.ndarray,
-                         vp: VariationalPosterior, gp: GP, state: AcqState):
+                         vp: VariationalPosterior, gp: GP, state: AcqState,
+                         smooth: bool = False):
     """Batched acquisition values at candidate points Xs (M, D).
 
     Applies variance regularization (`acqwrapper_vbmc.m:35-45`) and the
-    hard-bound rejection (`:50-52`). Lower is better.
+    hard-bound rejection (`:50-52`). Lower is better. With ``smooth`` the
+    GP summary comes from Bayesian quadrature against N(x, delta^2)
+    smoothing kernels instead of point prediction
+    (`acqwrapper_vbmc.m:12-15`, options.Bandwidth > 0).
     """
-    fbar, vtot, fmu, fs2 = gp_predict(cfg, gp, Xs)
+    if smooth:
+        from vbmc_tpu.gp.quad import gp_quad
+        fmu, fs2 = gp_quad(cfg, gp, Xs, state.delta)
+        m = gp.hyp_mask.astype(fmu.dtype)[:, None]
+        ns = jnp.maximum(jnp.sum(m), 1.0)
+        fbar = jnp.sum(fmu * m, axis=0) / ns
+        vbar = jnp.sum(fs2 * m, axis=0) / ns
+        vf = jnp.where(ns > 1,
+                       jnp.sum(((fmu - fbar) ** 2) * m, axis=0)
+                       / jnp.maximum(ns - 1.0, 1.0), jnp.zeros_like(fbar))
+        vtot = vbar + vf
+    else:
+        fbar, vtot, fmu, fs2 = gp_predict(cfg, gp, Xs)
     info = ACQ_INFO[name]
     log_flag = info["log_flag"]
 
@@ -128,3 +147,50 @@ def evaluate_acquisition(cfg: GPConfig, name: str, Xs: jnp.ndarray,
     out = (jnp.any(X_orig < state.lb_eps_orig[None, :], axis=1)
            | jnp.any(X_orig > state.ub_eps_orig[None, :], axis=1))
     return jnp.where(out, jnp.inf, acq)
+
+
+@jax.jit
+def _bound_rejection(trinfo, Xs, lb_eps, ub_eps, acq):
+    X_orig = inverse(trinfo, Xs)
+    out = (jnp.any(X_orig < lb_eps[None, :], axis=1)
+           | jnp.any(X_orig > ub_eps[None, :], axis=1))
+    return jnp.where(out, jnp.inf, acq)
+
+
+def _pallas_sweep_ok(cfg: GPConfig, name: str, m: int) -> bool:
+    from vbmc_tpu.gp.config import MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return (on_tpu and name == "prospective"
+            and cfg.intmean == 0 and cfg.outwarp == 0
+            and cfg.meanfun in (MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD)
+            and m % 256 == 0)
+
+
+def sweep_acquisition(cfg: GPConfig, name: str, Xs: jnp.ndarray,
+                      vp: VariationalPosterior, gp: GP, state: AcqState,
+                      smooth: bool = False):
+    """Acquisition sweep dispatcher: on TPU the prospective sweep runs as
+    the fused Pallas kernel (`pallas_kernels.fused_prospective_acq` — one
+    VMEM-resident pass instead of HBM-materialized (S,N,M) intermediates);
+    every other case uses the XLA path, which remains the reference
+    implementation (`tests/test_pallas.py` checks agreement to 1e-6)."""
+    global _pallas_disabled
+    if (not smooth and not _pallas_disabled
+            and _pallas_sweep_ok(cfg, name, Xs.shape[0])):
+        try:
+            from vbmc_tpu.pallas_kernels import fused_prospective_acq
+            acq = fused_prospective_acq(cfg, Xs, gp, vp, state.ymax,
+                                        state.tol_var)
+            return _bound_rejection(vp.trinfo, Xs, state.lb_eps_orig,
+                                    state.ub_eps_orig, acq)
+        except Exception as e:  # Mosaic lowering/VMEM limits: XLA fallback
+            import warnings
+            warnings.warn(f"Pallas acquisition kernel disabled: {e!r}")
+            _pallas_disabled = True
+    return evaluate_acquisition(cfg, name, Xs, vp, gp, state, smooth=smooth)
+
+
+_pallas_disabled = False

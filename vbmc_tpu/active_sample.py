@@ -21,18 +21,21 @@ from vbmc_tpu.gp.gp import GP
 from vbmc_tpu.gp.fit import _build_gp_jit, get_hpd
 from vbmc_tpu.function_logger import FunctionLogger
 from vbmc_tpu.vp import VariationalPosterior, vp_rnd, vp_moments
-from vbmc_tpu.acquisitions import evaluate_acquisition, AcqState, ACQ_INFO
+from vbmc_tpu.acquisitions import (evaluate_acquisition, sweep_acquisition,
+                                   AcqState, ACQ_INFO)
 from vbmc_tpu.samplers.cmaes import cmaes_minimize
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cfg", "name", "max_evals", "popsize"))
+@partial(jax.jit, static_argnames=("cfg", "name", "max_evals", "popsize",
+                                   "smooth"))
 def _cmaes_refine(cfg, name, key, x0, insigma, lb, ub, vp, gp, state,
-                  max_evals: int, popsize: int):
+                  max_evals: int, popsize: int, smooth: bool = False):
     """Whole CMA-ES refinement as one compiled kernel (scan over
     generations; population evaluated as a batch)."""
     def f_batch(xs):
-        return evaluate_acquisition(cfg, name, xs, vp, gp, state)
+        return evaluate_acquisition(cfg, name, xs, vp, gp, state,
+                                    smooth=smooth)
     return cmaes_minimize(key, f_batch, x0, insigma, lb, ub,
                           max_evals=max_evals, popsize=popsize)
 
@@ -239,6 +242,10 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             wk = vp.w * vp.kmask.astype(vp.w.dtype)
             var_log_joint = jnp.maximum(
                 jnp.einsum("j,sjk,k->s", wk, J, wk), 1e-12)
+        # Bandwidth smoothing (`acqwrapper_vbmc.m:12-15`): delta is set by
+        # the orchestrator when options.bandwidth > 0.
+        delta_sm = getattr(options, "delta_smoothing", None)
+        smooth = delta_sm is not None
         state = AcqState(
             ymax=jnp.asarray(logger.ymax, dtype=dtype),
             tol_var=jnp.asarray(tol_gp_var, dtype=dtype),
@@ -248,7 +255,9 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                                         dtype=dtype),
             var_log_joint=(var_log_joint if var_log_joint is not None
                            else jnp.ones(gp.s_max, dtype=dtype)),
-            regularize=jnp.asarray(True))
+            regularize=jnp.asarray(True),
+            delta=(jnp.asarray(delta_sm, dtype=dtype) if smooth
+                   else jnp.zeros(D, dtype=dtype)))
 
         Xsearch = get_search_points(k_search, options.ns_search, vp, logger,
                                     sb, options)
@@ -258,7 +267,8 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             acq = evaluate_is_acquisition(cfg, acq_name, Xs, vp, gp, state,
                                           active_is_state)
         else:
-            acq = evaluate_acquisition(cfg, acq_name, Xs, vp, gp, state)
+            acq = sweep_acquisition(cfg, acq_name, Xs, vp, gp, state,
+                                    smooth=smooth)
         acq_np = np.asarray(acq)
         best = int(np.nanargmin(np.where(np.isfinite(acq_np), acq_np, np.inf)))
         x_best = Xsearch[best]
@@ -287,7 +297,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             else:
                 res = _cmaes_refine(cfg, acq_name, *args,
                                     max_evals=options.search_max_fun_evals,
-                                    popsize=16)
+                                    popsize=16, smooth=smooth)
             if float(res.f_best) < f_best:
                 x_best = np.asarray(res.x_best)
 

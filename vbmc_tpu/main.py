@@ -313,6 +313,13 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     lb_t = np.asarray(direct(trinfo, jnp.asarray(lb)[None, :]))[0]
     ub_t = np.asarray(direct(trinfo, jnp.asarray(ub)[None, :]))[0]
 
+    # GP smoothing bandwidth (`setupvars_vbmc.m:247`: delta in units of the
+    # plausible box). Applied on the acquisition path (acqwrapper parity);
+    # the reference's gplogjoint smoothing is intentionally not carried over
+    # (its own comments flag that math as doubtful, `gplogjoint.m:176,193`).
+    opt.delta_smoothing = (opt.bandwidth * (pub_t - plb_t)
+                           if opt.bandwidth > 0 else None)
+
     uncertainty_level = (2 if opt.specify_target_noise
                          else (1 if opt.uncertainty_handling else 0))
     logger = FunctionLogger(fun, D, trinfo,
@@ -431,6 +438,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 trinfo_new, vp, gp, cfg, temperature=opt.temperature)
             sb = SearchBounds(lb=sb_lb_new, ub=sb_ub_new,
                               lb_hard=lb_t_new, ub_hard=ub_t_new)
+            if opt.bandwidth > 0:
+                opt.delta_smoothing = opt.bandwidth * (pub_t - plb_t)
             hyp_warm = hyp_warped
             state.hyp_runcov = None
             state.run_mean = None
@@ -467,6 +476,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     gp = snapshot["gp"]
                     logger.retransform(snapshot["trinfo"])
                     plb_t, pub_t = snapshot["plb_t"], snapshot["pub_t"]
+                    if opt.bandwidth > 0:
+                        opt.delta_smoothing = opt.bandwidth * (pub_t - plb_t)
                     sb = SearchBounds(lb=snapshot["sb_lb"],
                                       ub=snapshot["sb_ub"],
                                       lb_hard=snapshot["sb_lbh"],

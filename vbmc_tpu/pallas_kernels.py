@@ -56,7 +56,11 @@ def _acq_kernel(cfg: GPConfig,
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    hyp = hyp_ref[0, :]
+    # hyp/alpha/Binv are full (S, 1, ...) blocks; the sample row is selected
+    # by a dynamic index on the LEADING dim (legal on TPU — Mosaic's tiling
+    # constraints only bind the last two dims, so (1, nhyp)-shaped per-row
+    # blocks cannot be used as block specs directly).
+    hyp = hyp_ref[s, 0, :]
     inv_ell = jnp.exp(-hyp[:D])                       # (D,)
     sf2 = jnp.exp(2.0 * hyp[D])
 
@@ -87,7 +91,7 @@ def _acq_kernel(cfg: GPConfig,
     else:
         mean_c = jnp.zeros((C.shape[0],), dtype=dtype)
 
-    alpha = alpha_ref[0, :]                           # (N,)
+    alpha = alpha_ref[s, 0, :]                        # (N,)
     fmu = mean_c + jax.lax.dot_general(
         ks, alpha[:, None], (((0,), (0,)), ((), ())),
         preferred_element_type=dtype)[:, 0]           # (Mt,)
@@ -135,7 +139,7 @@ def _acq_kernel(cfg: GPConfig,
         low = vtot < tol_var
         ratio = tol_var / jnp.maximum(vtot, jnp.finfo(dtype).tiny)
         acq = jnp.where(low, acq * jnp.exp(-(ratio - 1.0)), acq)
-        acq_ref[0, :] = acq
+        acq_ref[0, 0, :] = acq
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -178,10 +182,13 @@ def fused_prospective_acq(cfg: GPConfig, Xs, gp, vp, ymax, tol_var,
                              memory_space=pltpu.VMEM),      # X
                 pl.BlockSpec((N, 1), lambda m, s, *_: (0, 0),
                              memory_space=pltpu.VMEM),      # n mask
-                pl.BlockSpec((1, cfg.nhyp), lambda m, s, *_: (s, 0),
-                             memory_space=pltpu.VMEM),      # hyp row
-                pl.BlockSpec((1, N), lambda m, s, *_: (s, 0),
-                             memory_space=pltpu.VMEM),      # alpha row
+                # hyp/alpha ride as full (S, 1, width) blocks: Mosaic allows
+                # dynamic per-sample indexing only on leading dims, so the
+                # row selection happens inside the kernel.
+                pl.BlockSpec((S, 1, cfg.nhyp), lambda m, s, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),      # hyp (all rows)
+                pl.BlockSpec((S, 1, N), lambda m, s, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),      # alpha (all rows)
                 pl.BlockSpec((1, N, N), lambda m, s, *_: (s, 0, 0),
                              memory_space=pltpu.VMEM),      # Binv slice
                 pl.BlockSpec((vp.k_max, D), lambda m, s, *_: (0, 0),
@@ -195,13 +202,13 @@ def fused_prospective_acq(cfg: GPConfig, Xs, gp, vp, ymax, tol_var,
                 pl.BlockSpec((1, 3), lambda m, s, *_: (0, 0),
                              memory_space=pltpu.VMEM),      # consts
             ],
-            out_specs=pl.BlockSpec((1, Mt), lambda m, s, *_: (m, 0),
+            out_specs=pl.BlockSpec((1, 1, Mt), lambda m, s, *_: (m, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((3, Mt), dtype)],
         ),
-        out_shape=jax.ShapeDtypeStruct((M // Mt, Mt), dtype),
+        out_shape=jax.ShapeDtypeStruct((M // Mt, 1, Mt), dtype),
         interpret=interpret,
-    )(smask, Xs, gp.X, gp.mask.astype(dtype)[:, None], gp.hyp, gp.alpha,
-      gp.Binv, vp.mu, vp.sigma[:, None], vp.lam[None, :], logw[:, None],
-      consts)
+    )(smask, Xs, gp.X, gp.mask.astype(dtype)[:, None], gp.hyp[:, None, :],
+      gp.alpha[:, None, :], gp.Binv, vp.mu, vp.sigma[:, None],
+      vp.lam[None, :], logw[:, None], consts)
     return out.reshape(M)
