@@ -124,10 +124,21 @@ def _blocks():
 
 def run_block(blk, seed, max_fun_evals=100):
     from vbmc_tpu import vbmc, VBMCOptions, vp_moments
+    t_blk = time.monotonic()
+    print(f"# >> block {blk['name']} start", file=sys.stderr, flush=True)
+
+    def _progress(info):
+        print(f"#    {blk['name']} iter {info['iteration']:3d} "
+              f"fc={info['func_count']:3d} elbo={info['elbo']:8.3f} "
+              f"K={info['K']:3d} t={time.monotonic() - t_blk:7.1f}s "
+              f"timer={info.get('timer')}", file=sys.stderr, flush=True)
+
     try:
         opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals,
                            seed=seed, min_final_components=20,
-                           specify_target_noise=blk["noisy"])
+                           specify_target_noise=blk["noisy"],
+                           output_fcn=_progress if os.environ.get(
+                               "VBMC_BENCH_PROGRESS", "1") == "1" else None)
         res = vbmc(blk["fun"], x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
                    plb=blk["plb"], pub=blk["pub"], options=opts)
         mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
@@ -156,14 +167,28 @@ def main():
     run_block(warm, seed=99, max_fun_evals=30)
     warm_s = time.monotonic() - t_warm
 
+    # On an accelerator the blocks run CONCURRENTLY in threads: the runs are
+    # independent, per-dispatch tunnel latency (~30 ms) and remote compiles
+    # overlap, and the device interleaves the small kernels. On CPU the
+    # blocks are compute-bound and share cores, so they run sequentially
+    # (and clear_caches between blocks avoids LLVM mmap-section exhaustion
+    # from thousands of kernel variants).
+    par = os.environ.get("VBMC_BENCH_PARALLEL", "auto")
+    parallel = (par == "1") if par in ("0", "1") else \
+        jax.default_backend() != "cpu"
+
     t0 = time.monotonic()
-    results = []
-    for i, blk in enumerate(blocks):
-        results.append(run_block(blk, seed=i + 1))
-        # Release compiled executables between blocks: thousands of kernel
-        # variants otherwise exhaust mmap sections (LLVM "Cannot allocate
-        # memory"). The persistent compilation cache makes reloads cheap.
-        jax.clear_caches()
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(blocks)) as ex:
+            futs = [ex.submit(run_block, blk, i + 1)
+                    for i, blk in enumerate(blocks)]
+            results = [f.result() for f in futs]
+    else:
+        results = []
+        for i, blk in enumerate(blocks):
+            results.append(run_block(blk, seed=i + 1))
+            jax.clear_caches()
     elapsed = time.monotonic() - t0
 
     n_ok = sum(r["ok"] for r in results)

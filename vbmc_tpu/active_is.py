@@ -71,9 +71,23 @@ _U_IQR = 0.6744897501960817  # norminv(0.75)
 def build_is_state(key, cfg: GPConfig, acq_name: str,
                    vp: VariationalPosterior, gp: GP, options) -> ISState:
     """Assemble the importance-sampling set (simplified TPU-native version of
-    `activeimportancesampling_vbmc.m`): proposals from the smoothed
-    variational posterior (3 widening scales) plus box-uniform draws around
-    training inputs; weights from the current GP.
+    `activeimportancesampling_vbmc.m`); thin host wrapper around the fully
+    traceable `build_is_state_core`."""
+    return build_is_state_core(
+        key, cfg, acq_name, vp, gp,
+        int(options.active_importance_sampling_vp_samples),
+        int(options.active_importance_sampling_box_samples),
+        int(options.active_importance_sampling_mcmc_samples))
+
+
+@partial(jax.jit, static_argnames=("cfg", "acq_name", "n_vp", "n_box",
+                                   "n_mcmc"))
+def build_is_state_core(key, cfg: GPConfig, acq_name: str,
+                        vp: VariationalPosterior, gp: GP, n_vp: int,
+                        n_box: int, n_mcmc: int) -> ISState:
+    """Importance-sample set as one device program: proposals from the
+    smoothed variational posterior (3 widening scales) plus box-uniform
+    draws around training inputs; weights from the current GP.
 
     The MCMC-refresh path of the reference is replaced by a larger
     stratified proposal set — one batched GP predict instead of per-sample
@@ -81,9 +95,6 @@ def build_is_state(key, cfg: GPConfig, acq_name: str,
     """
     D = vp.D
     dtype = gp.X.dtype
-    n_vp = int(options.active_importance_sampling_vp_samples)
-    n_box = int(options.active_importance_sampling_box_samples)
-    n_mcmc = int(options.active_importance_sampling_mcmc_samples)
 
     k1, k2, k3 = jax.random.split(key, 3)
     parts = []
@@ -94,14 +105,17 @@ def build_is_state(key, cfg: GPConfig, acq_name: str,
         vp_s = vp._replace(sigma=vp.sigma * sc)
         parts.append(vp_rnd(vp_s, jax.random.fold_in(k1, i), n_each,
                             orig_flag=False, balance_flag=True))
-    # Box-uniform around training points (ais:138-146).
-    m = np.asarray(gp.mask, bool)
-    X_train = np.asarray(gp.X)[m]
-    lo = X_train.min(0) - 0.5 * (X_train.max(0) - X_train.min(0))
-    hi = X_train.max(0) + 0.5 * (X_train.max(0) - X_train.min(0))
+    # Box-uniform around training points (ais:138-146), masked device
+    # min/max so the whole build stays inside one jit.
+    m = gp.mask.astype(dtype)
+    big = jnp.finfo(dtype).max
+    Xmin = jnp.min(jnp.where(m[:, None] > 0, gp.X, big), axis=0)
+    Xmax = jnp.max(jnp.where(m[:, None] > 0, gp.X, -big), axis=0)
+    diam = Xmax - Xmin
+    lo = Xmin - 0.5 * diam
+    hi = Xmax + 0.5 * diam
     u = jax.random.uniform(k2, (max(n_box, 1), D), dtype=dtype)
-    parts.append(jnp.asarray(lo, dtype=dtype) + u *
-                 jnp.asarray(hi - lo, dtype=dtype))
+    parts.append(lo + u * (hi - lo))
     Xa = jnp.concatenate(parts, axis=0)
     Na = Xa.shape[0]
 
@@ -109,9 +123,8 @@ def build_is_state(key, cfg: GPConfig, acq_name: str,
     # smoothed vp at the middle scale + uniform box component).
     vp_mid = vp._replace(sigma=vp.sigma * np.sqrt(2.0))
     log_prop_vp = vp_log_pdf_trans(vp_mid, Xa)
-    log_box = -jnp.sum(jnp.log(jnp.asarray(hi - lo, dtype=dtype)))
-    in_box = jnp.all((Xa >= jnp.asarray(lo, dtype=dtype))
-                     & (Xa <= jnp.asarray(hi, dtype=dtype)), axis=1)
+    log_box = -jnp.sum(jnp.log(hi - lo))
+    in_box = jnp.all((Xa >= lo) & (Xa <= hi), axis=1)
     frac_box = max(n_box, 1) / Na
     log_prop = jnp.logaddexp(
         jnp.log(1 - frac_box) + log_prop_vp,

@@ -177,6 +177,132 @@ def get_search_points(key, n_search: int, vp: VariationalPosterior,
     return np.clip(X, sb.lb, sb.ub)
 
 
+@partial(jax.jit, static_argnames=("cfg", "name", "n_search", "n_heavy",
+                                   "n_mvn", "n_box", "max_evals", "popsize",
+                                   "smooth", "refine"))
+def _propose_point(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
+                   sb_ub, n_search: int, n_heavy: int, n_mvn: int,
+                   n_box: int, max_evals: int, popsize: int, smooth: bool,
+                   refine: bool):
+    """One acquisition step as a SINGLE device program: candidate
+    generation (heavy-tail/MVN/box/VP mixture, `getSearchPoints`
+    `activesample_vbmc.m:545-639`) -> acquisition sweep -> argmin ->
+    CMA-ES refinement. Fusing the step removes ~10 host<->device round
+    trips per point — at ~30 ms tunnel latency each, that is most of the
+    active-sampling wall-clock on TPU.
+
+    Returns (x_best (D,), f_sweep_best ()). Requires the default search-set
+    composition (no HPD / cache fractions) and CMA-ES refinement with VP
+    moment init; the host path remains for everything else.
+    """
+    Xs, cov_t = _gen_candidates(key, vp, gp, sb_lb, sb_ub, n_search,
+                                n_heavy, n_mvn, n_box)
+
+    from vbmc_tpu.acquisitions import sweep_acquisition
+    acq = sweep_acquisition(cfg, name, Xs, vp, gp, state, smooth=smooth)
+
+    def f_batch(xs):
+        return evaluate_acquisition(cfg, name, xs, vp, gp, state,
+                                    smooth=smooth)
+
+    return _argmin_and_refine(jax.random.fold_in(key, 5), Xs, acq, cov_t,
+                              sb_lb, sb_ub, f_batch, max_evals, popsize,
+                              refine)
+
+
+def _gen_candidates(key, vp, gp, sb_lb, sb_ub, n_search: int, n_heavy: int,
+                    n_mvn: int, n_box: int):
+    """Device-side search-set generation (the traceable core of
+    `getSearchPoints`). Returns (Xs (n_search, D), vp covariance)."""
+    D = vp.mu.shape[1]
+    dtype = gp.X.dtype
+    k_h, k_m, k_b, k_v = jax.random.split(key, 4)
+
+    mean_t, cov_t = vp_moments(vp, orig_flag=False)
+    parts = []
+    if n_heavy > 0:
+        parts.append(vp_rnd(vp, k_h, n_heavy, orig_flag=False, df=3.0))
+    if n_mvn > 0:
+        Lc = jnp.linalg.cholesky(cov_t + 1e-12 * jnp.eye(D, dtype=dtype))
+        eps = jax.random.normal(k_m, (n_mvn, D), dtype=dtype)
+        parts.append(mean_t[None, :] + eps @ Lc.T)
+    if n_box > 0:
+        box_lb, box_ub = _train_box(gp, sb_lb, sb_ub)
+        u = jax.random.uniform(k_b, (n_box, D), dtype=dtype)
+        parts.append(box_lb + u * (box_ub - box_lb))
+    n_vp = n_search - sum(p.shape[0] for p in parts)
+    if n_vp > 0:
+        parts.append(vp_rnd(vp, k_v, n_vp, orig_flag=False,
+                            balance_flag=True))
+    Xs = jnp.clip(jnp.concatenate(parts, axis=0)[:n_search],
+                  sb_lb[None, :], sb_ub[None, :])
+    return Xs, cov_t
+
+
+def _train_box(gp, sb_lb, sb_ub):
+    """Box around the (masked) training inputs, clipped to finite search
+    bounds (`activesample_vbmc.m:600-612`)."""
+    dtype = gp.X.dtype
+    m = gp.mask.astype(dtype)
+    big = jnp.finfo(dtype).max
+    Xmin = jnp.min(jnp.where(m[:, None] > 0, gp.X, big), axis=0)
+    Xmax = jnp.max(jnp.where(m[:, None] > 0, gp.X, -big), axis=0)
+    diam = Xmax - Xmin
+    box_lb = jnp.where(jnp.isfinite(sb_lb),
+                       jnp.maximum(Xmin - 0.5 * diam, sb_lb),
+                       Xmin - 0.5 * diam)
+    box_ub = jnp.where(jnp.isfinite(sb_ub),
+                       jnp.minimum(Xmax + 0.5 * diam, sb_ub),
+                       Xmax + 0.5 * diam)
+    return box_lb, box_ub
+
+
+def _argmin_and_refine(k_cma, Xs, acq, cov_t, sb_lb, sb_ub, f_batch,
+                       max_evals: int, popsize: int, refine: bool):
+    acq_f = jnp.where(jnp.isfinite(acq), acq, jnp.inf)
+    best = jnp.argmin(acq_f)
+    x0 = Xs[best]
+    f0 = acq_f[best]
+    if not refine:
+        return x0, f0
+    insigma = jnp.sqrt(jnp.maximum(jnp.diagonal(cov_t), 1e-12))
+    lb_c = jnp.minimum(x0, sb_lb)
+    ub_c = jnp.maximum(x0, sb_ub)
+    res = cmaes_minimize(k_cma, f_batch, x0, insigma, lb_c, ub_c,
+                         max_evals=max_evals, popsize=popsize)
+    better = res.f_best < f0
+    x = jnp.where(better, res.x_best, x0)
+    return x, f0
+
+
+@partial(jax.jit, static_argnames=("cfg", "name", "n_search", "n_heavy",
+                                   "n_mvn", "n_box", "n_is_vp", "n_is_box",
+                                   "n_is_mcmc", "max_evals", "popsize"))
+def _propose_point_is(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
+                      sb_ub, n_search: int, n_heavy: int, n_mvn: int,
+                      n_box: int, n_is_vp: int, n_is_box: int,
+                      n_is_mcmc: int, max_evals: int, popsize: int):
+    """Fused VIQR/IMIQR proposal: IS-state build + candidate generation +
+    sweep + CMA-ES refinement as one device program (the noisy-target
+    analogue of `_propose_point`; the per-point IS rebuild is what makes
+    the noisy path the bench critical path)."""
+    from vbmc_tpu.active_is import build_is_state_core, \
+        evaluate_is_acquisition
+
+    k_is, k_gen, k_cma = jax.random.split(key, 3)
+    ais = build_is_state_core(k_is, cfg, name, vp, gp, n_is_vp, n_is_box,
+                              n_is_mcmc)
+    Xs, cov_t = _gen_candidates(k_gen, vp, gp, sb_lb, sb_ub, n_search,
+                                n_heavy, n_mvn, n_box)
+    acq = evaluate_is_acquisition(cfg, name, Xs, vp, gp, state, ais)
+
+    def f_batch(xs):
+        return evaluate_is_acquisition(cfg, name, xs, vp, gp, state, ais)
+
+    return _argmin_and_refine(k_cma, Xs, acq, cov_t, sb_lb, sb_ub, f_batch,
+                              max_evals, popsize, True)
+
+
 def gp_reupdate(cfg: GPConfig, gp: GP, logger: FunctionLogger) -> GP:
     """Refresh the GP posterior with current training data, keeping the
     hyperparameter samples (cf. `misc/gpreupdate.m`). The batched
@@ -220,13 +346,22 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
 
     from vbmc_tpu.transforms import direct
     lb_eps, ub_eps = _hard_bound_eps(logger, options)
+    insigma_cache = None   # vp moments reused across points until vp changes
 
     for i in range(n_points):
         key, k_search, k_cma, k_is = jax.random.split(key, 4)
 
+        # Default search composition + CMA-ES refinement => the whole
+        # point proposal runs as ONE device program (fused fast paths).
+        fused_ok = (options.search_cache_frac == 0
+                    and options.hpd_search_frac == 0
+                    and options.search_optimizer == "cmaes"
+                    and options.search_cmaes_vp_init)
+
         # Importance-sampling state is rebuilt per point: the GP posterior
         # changes as evaluations accrue (`activesample_vbmc.m:208-211`).
-        if use_is:
+        # On the fused path the rebuild happens inside _propose_point_is.
+        if use_is and not fused_ok:
             from vbmc_tpu.active_is import build_is_state
             active_is_state = build_is_state(k_is, cfg, acq_name, vp, gp,
                                              options)
@@ -259,26 +394,65 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             delta=(jnp.asarray(delta_sm, dtype=dtype) if smooth
                    else jnp.zeros(D, dtype=dtype)))
 
-        Xsearch = get_search_points(k_search, options.ns_search, vp, logger,
-                                    sb, options)
-        Xs = jnp.asarray(Xsearch, dtype=dtype)
-        if active_is_state is not None:
-            from vbmc_tpu.active_is import evaluate_is_acquisition
-            acq = evaluate_is_acquisition(cfg, acq_name, Xs, vp, gp, state,
-                                          active_is_state)
+        # Fast path: the whole proposal (candidate gen + sweep + CMA-ES)
+        # as one device program when the default search composition applies.
+        fused = fused_ok and not use_is
+        fused_is = fused_ok and use_is
+        if fused or fused_is:
+            ns = options.ns_search
+            common = dict(
+                n_search=ns,
+                n_heavy=int(round(options.heavy_tail_search_frac * ns)),
+                n_mvn=int(round(options.mvn_search_frac * ns)),
+                n_box=int(round(options.box_search_frac * ns)),
+                max_evals=options.search_max_fun_evals,
+                popsize=options.search_cmaes_popsize)
+            if fused:
+                x_fused, _ = _propose_point(
+                    cfg, acq_name, k_search, vp, gp, state,
+                    jnp.asarray(sb.lb, dtype=dtype),
+                    jnp.asarray(sb.ub, dtype=dtype),
+                    smooth=smooth, refine=True, **common)
+            else:
+                x_fused, _ = _propose_point_is(
+                    cfg, acq_name, k_search, vp, gp, state,
+                    jnp.asarray(sb.lb, dtype=dtype),
+                    jnp.asarray(sb.ub, dtype=dtype),
+                    n_is_vp=int(
+                        options.active_importance_sampling_vp_samples),
+                    n_is_box=int(
+                        options.active_importance_sampling_box_samples),
+                    n_is_mcmc=int(
+                        options.active_importance_sampling_mcmc_samples),
+                    **common)
+            x_best = np.asarray(x_fused)
         else:
-            acq = sweep_acquisition(cfg, acq_name, Xs, vp, gp, state,
-                                    smooth=smooth)
-        acq_np = np.asarray(acq)
-        best = int(np.nanargmin(np.where(np.isfinite(acq_np), acq_np, np.inf)))
-        x_best = Xsearch[best]
-        f_best = acq_np[best]
+            Xsearch = get_search_points(k_search, options.ns_search, vp,
+                                        logger, sb, options)
+            Xs = jnp.asarray(Xsearch, dtype=dtype)
+            if active_is_state is not None:
+                from vbmc_tpu.active_is import evaluate_is_acquisition
+                acq = evaluate_is_acquisition(cfg, acq_name, Xs, vp, gp,
+                                              state, active_is_state)
+            else:
+                acq = sweep_acquisition(cfg, acq_name, Xs, vp, gp, state,
+                                        smooth=smooth)
+            acq_np = np.asarray(acq)
+            best = int(np.nanargmin(np.where(np.isfinite(acq_np), acq_np,
+                                             np.inf)))
+            x_best = Xsearch[best]
+            f_best = acq_np[best]
 
         # CMA-ES refinement of the winner (`activesample:246-330`).
-        if options.search_optimizer == "cmaes":
+        if (not fused and not fused_is
+                and options.search_optimizer == "cmaes"):
+            popsize = options.search_cmaes_popsize
             if options.search_cmaes_vp_init:
-                _, cov = vp_moments(vp, orig_flag=False)
-                insigma = np.sqrt(np.maximum(np.diag(np.asarray(cov)), 1e-12))
+                if insigma_cache is None:
+                    _, cov = vp_moments(vp, orig_flag=False)
+                    insigma_cache = np.sqrt(np.maximum(
+                        np.diag(np.asarray(cov)), 1e-12))
+                insigma = insigma_cache
             else:
                 X_t, y_t, _ = logger.training_data()
                 X_hpd, _ = get_hpd(X_t, y_t, options.hpd_frac)
@@ -293,13 +467,15 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             if active_is_state is not None:
                 res = _cmaes_refine_is(cfg, acq_name, *args, active_is_state,
                                        max_evals=options.search_max_fun_evals,
-                                       popsize=16)
+                                       popsize=popsize)
             else:
                 res = _cmaes_refine(cfg, acq_name, *args,
                                     max_evals=options.search_max_fun_evals,
-                                    popsize=16, smooth=smooth)
-            if float(res.f_best) < f_best:
-                x_best = np.asarray(res.x_best)
+                                    popsize=popsize, smooth=smooth)
+            # One device->host round trip for both values.
+            f_ref, x_ref = jax.device_get((res.f_best, res.x_best))
+            if float(f_ref) < f_best:
+                x_best = np.asarray(x_ref)
 
         logger.evaluate(x_best)
         sb.expand(x_best)
@@ -319,6 +495,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                         else gp_tmp
                     if refit_vp is not None:
                         vp = refit_vp(vp, gp)
+                        insigma_cache = None
                 else:
                     gp = gp_tmp
             else:

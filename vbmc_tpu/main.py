@@ -683,7 +683,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             opt.output_fcn(dict(iteration=it, elbo=elbo, elbo_sd=elbo_sd,
                                 sKL=sKL, K=state.vp_K, rindex=state.R,
                                 func_count=logger.func_count, vp=vp,
-                                warmup=state.warmup))
+                                warmup=state.warmup,
+                                timer=stats.last.timer))
 
         if display:
             print(f" {it:9d} {logger.func_count:8d} {elbo:14.2f} "
