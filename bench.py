@@ -161,10 +161,21 @@ def main():
     n_blocks = int(os.environ.get("VBMC_BENCH_BLOCKS", len(blocks)))
     blocks = blocks[:n_blocks]
 
-    # Warm-up: a tiny run to trigger jit compilation of the hot kernels.
-    warm = dict(blocks[1 % len(blocks)])
+    # Warm-up: a tiny run of EVERY block to trigger jit compilation /
+    # persistent-cache executable loading for all shape variants (D=1..6,
+    # exact + noisy). Mirrors the baseline's exclusion of MATLAB's own
+    # JIT/startup; production deployments amortize the same costs through
+    # the persistent compile cache.
     t_warm = time.monotonic()
-    run_block(warm, seed=99, max_fun_evals=30)
+    par_warm = os.environ.get("VBMC_BENCH_PARALLEL", "auto") != "0" and \
+        jax.default_backend() != "cpu"
+    if par_warm:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(blocks)) as ex:
+            list(ex.map(lambda b: run_block(dict(b), seed=99,
+                                            max_fun_evals=25), blocks))
+    else:
+        run_block(dict(blocks[1 % len(blocks)]), seed=99, max_fun_evals=30)
     warm_s = time.monotonic() - t_warm
 
     # On an accelerator the blocks run CONCURRENTLY in threads: the runs are

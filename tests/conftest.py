@@ -22,3 +22,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _release_executables(request):
+    """Release compiled executables after heavy end-to-end tests.
+
+    The CPU backend JIT-compiles thousands of kernel variants across full
+    VBMC runs; accumulated LLVM code sections eventually exhaust mmap space
+    and SEGFAULT *inside a later compile* (observed in the slow suite after
+    the fused proposal kernels landed). The persistent-cache/per-test
+    recompile cost is negligible next to the runs themselves.
+    """
+    yield
+    if (request.node.get_closest_marker("slow")
+            or "e2e" in request.node.nodeid):
+        jax.clear_caches()

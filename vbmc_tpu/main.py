@@ -60,6 +60,9 @@ class VBMCResult:
     convergence_status: str
     idx_best: int
     timers: dict
+    # Algorithmic overhead: total runtime / total target-eval time - 1
+    # (`vbmc.m:937-939`).
+    overhead: float = float("nan")
 
 
 def bounds_check(x0, lb, ub, plb, pub, D):
@@ -755,12 +758,14 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
     timers["final_boost"] = time.monotonic() - t_final
     timers["total"] = time.monotonic() - t0
+    overhead = (timers["total"] / logger.total_fun_eval_time - 1.0
+                if logger.total_fun_eval_time > 0 else float("inf"))
     return VBMCResult(
         vp=vp, elbo=float(elbo), elbo_sd=float(elbo_sd), exitflag=exitflag,
         message=msg, stats=stats, optim_state=state, logger=logger,
         vp_train=vp_train, func_count=logger.func_count,
         iterations=len(stats), convergence_status=convergence,
-        idx_best=idx_best, timers=timers)
+        idx_best=idx_best, timers=timers, overhead=overhead)
 
 
 def vbmc_sweep(fun, x0=None, lb=None, ub=None, plb=None, pub=None,

@@ -342,42 +342,58 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         return thetas_np[0]
 
     elcbo_beta = options.elcbo_weight
-    for i_opt in range(max(n_slow_opts, 1)):
-        theta0 = jnp.asarray(pick_start(i_opt))
-        k_i = jax.random.fold_in(key, 100 + i_opt)
+    n_opts = max(n_slow_opts, 1)
+    # Pad the start batch to a bucket (repeat the first start) so the
+    # vmapped optimizer compiles ONE variant per theta size, not one per
+    # batch size — a per-variant remote compile costs more than the padded
+    # rows' device time.
+    n_opts_b = 1
+    while n_opts_b < n_opts:
+        n_opts_b *= 2
+    starts_list = [pick_start(i) for i in range(n_opts)]
+    starts_list += [starts_list[0]] * (n_opts_b - n_opts)
+    theta0s = jnp.asarray(np.stack(starts_list))
+    keys_i = jnp.stack([jax.random.fold_in(key, 100 + i)
+                        for i in range(n_opts_b)])
 
-        if ns_ent_k == 0:
-            # Deterministic path: L-BFGS on the entropy lower bound.
-            theta_opt, _ = _lbfgs_cached(cfg, flags, theta0, gp, tmpl,
-                                         elcbo_beta, bnd, k_i,
-                                         options.lbfgs_iters)
-            mids = [theta_opt]
+    if ns_ent_k == 0:
+        # Deterministic path: all starts as one vmapped L-BFGS batch.
+        thetas_opt, _ = _lbfgs_batch(cfg, flags, theta0s, gp, tmpl,
+                                     elcbo_beta, bnd, keys_i,
+                                     options.lbfgs_iters)
+        mids_all = thetas_opt
+        midkeys = [jax.random.fold_in(keys_i[i], 7) for i in range(n_opts)]
+    else:
+        # Stochastic path: Adam on the MC-entropy objective, vmapped.
+        step_min = min(options.sgd_step_size, 0.001)
+        if warmup or not opt_weights:
+            step_max = min(0.1, options.sgd_step_size * 10)
         else:
-            # Stochastic path: Adam on the MC-entropy objective.
-            step_min = min(options.sgd_step_size, 0.001)
-            if warmup or not opt_weights:
-                step_max = min(0.1, options.sgd_step_size * 10)
-            else:
-                step_max = min(0.1, options.sgd_step_size)
-            step_max = max(step_min, step_max)
-            res = _adam_cached(cfg, flags, theta0, gp, tmpl, elcbo_beta, bnd,
-                               k_i, ns_ent_k,
-                               int(min(options.max_iter_stochastic, 10000)),
-                               step_min, step_max,
-                               options.tol_fun_stochastic)
-            theta_opt = res.x
+            step_max = min(0.1, options.sgd_step_size)
+        step_max = max(step_min, step_max)
+        res = _adam_batch(cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd,
+                          keys_i, ns_ent_k,
+                          int(min(options.max_iter_stochastic, 10000)),
+                          step_min, step_max, options.tol_fun_stochastic)
+        xs, x_traces, f_traces, n_iters_b = jax.device_get(
+            (res.x, res.x_trace, res.f_trace, res.n_iters))
+        mids_list, midkeys = [], []
+        for i in range(n_opts):
             if options.elcbo_midpoint:
-                best_i = int(jnp.argmin(jnp.where(
-                    jnp.arange(res.f_trace.shape[0]) < res.n_iters,
-                    res.f_trace, jnp.inf)))
-                mids = [res.x_trace[best_i], theta_opt]
-            else:
-                mids = [theta_opt]
+                ftr = np.where(np.arange(f_traces.shape[1]) < n_iters_b[i],
+                               f_traces[i], np.inf)
+                mids_list.append(x_traces[i][int(np.argmin(ftr))])
+                midkeys.append(jax.random.fold_in(keys_i[i], 7))
+            mids_list.append(xs[i])
+            midkeys.append(jax.random.fold_in(keys_i[i], 7))
+        mids_all = jnp.asarray(np.stack(mids_list))
 
-        for th in mids:
-            st = _full_eval(cfg, th, gp, tmpl, flags, ns_fine_k,
-                            jax.random.fold_in(k_i, 7))
-            results.append((np.asarray(th), st))
+    sts = _full_eval_batch(cfg, mids_all, gp, tmpl, flags, ns_fine_k,
+                           jnp.stack(midkeys))
+    mids_np = np.asarray(mids_all)
+    for j in range(mids_np.shape[0]):
+        results.append((mids_np[j],
+                        {kk: vv[j] for kk, vv in sts.items()}))
 
     # --- select best by ELCBO ---------------------------------------
     beta_sel = options.elcbo_impro_weight * 0.0  # selection uses nelcbo below
@@ -515,6 +531,47 @@ def fractional_ess(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
 # ----------------------------------------------------------------------
 # Cached jitted optimizer drivers
 # ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "maxiter"))
+def _lbfgs_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, maxiter):
+    """All slow-optimization starts as ONE vmapped L-BFGS batch — one
+    dispatch instead of one per start."""
+    def run(th0, k):
+        def obj(th):
+            F, _ = eb.negelcbo(cfg, th, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
+                               tmpl.w, tmpl.kmask, flags, beta, 0, 0, k,
+                               bnd=bnd, use_bounds=True)
+            return F
+        lb = jnp.full(th0.shape, -jnp.inf, dtype=th0.dtype)
+        ub = jnp.full(th0.shape, jnp.inf, dtype=th0.dtype)
+        return minimize_lbfgs_bounded(obj, th0, lb, ub, maxiter=maxiter)
+    return jax.vmap(run)(theta0s, keys)
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "ns_ent_k", "maxiter"))
+def _adam_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, ns_ent_k,
+                maxiter, step_min, step_max, tol_fun):
+    def run(th0, k):
+        def f_vg(th, kk):
+            def f(t):
+                F, _ = eb.negelcbo(cfg, t, gp, tmpl.mu, tmpl.sigma,
+                                   tmpl.lam, tmpl.w, tmpl.kmask, flags,
+                                   beta, ns_ent_k, 0, kk, bnd=bnd,
+                                   use_bounds=True)
+                return F
+            return jax.value_and_grad(f)(th)
+        return fminadam(f_vg, th0, tol_fun=tol_fun, maxiter=maxiter,
+                        step_min=step_min, step_max=step_max, key=k)
+    return jax.vmap(run)(theta0s, keys)
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "ns_fine_k"))
+def _full_eval_batch(cfg, thetas, gp, tmpl, flags, ns_fine_k, keys):
+    def one(th, k):
+        return eb.elbo_stats(cfg, th, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
+                             tmpl.w, tmpl.kmask, flags, ns_fine_k, 1, k)
+    return jax.vmap(one)(thetas, keys)
+
 
 @partial(jax.jit, static_argnames=("cfg", "flags", "maxiter"))
 def _lbfgs_cached(cfg, flags, theta0, gp, tmpl, beta, bnd, key, maxiter):
