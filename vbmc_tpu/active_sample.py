@@ -83,11 +83,50 @@ def initial_design(key, logger: FunctionLogger, n_evals: int,
                    plb, pub, x0_cache: Optional[np.ndarray] = None,
                    fvals_cache: Optional[np.ndarray] = None):
     """First batch of evaluations: provided starting points + uniform draws
-    in the plausible box (`initdesign_vbmc.m:10-28`, 'plausible' mode)."""
+    in the plausible box (`initdesign_vbmc.m:10-28`, 'plausible' mode).
+
+    An oversized starting cache is thinned by k-means clustering, keeping
+    the best-density representative of each cluster
+    (`initdesign_vbmc.m:30-45`); the rest is returned as the search cache
+    consumed by `get_search_points` (`activesample_vbmc.m:545-558`).
+    Returns (search_cache, search_cache_y) — leftover cache points (possibly
+    empty)."""
     D = plb.shape[0]
     pts = []
+    fv = (np.asarray(fvals_cache, float).ravel()
+          if fvals_cache is not None else None)
+    leftover = np.zeros((0, D))
+    leftover_y = np.zeros(0)
     if x0_cache is not None and len(x0_cache):
-        pts.append(np.asarray(x0_cache, float).reshape(-1, D))
+        Xc = np.asarray(x0_cache, float).reshape(-1, D)
+        if Xc.shape[0] > n_evals and n_evals > 0:
+            from vbmc_tpu.utils.kmeans import kmeans
+            _, assign = kmeans(Xc, n_evals, seed=0)
+            chosen = np.zeros(Xc.shape[0], dtype=bool)
+            for c in range(n_evals):
+                members = np.where(assign == c)[0]
+                if members.size == 0:
+                    continue
+                if fv is not None and fv.size >= Xc.shape[0]:
+                    best = members[int(np.nanargmax(
+                        np.where(np.isfinite(fv[members]), fv[members],
+                                 -np.inf)))]
+                else:
+                    best = members[0]
+                chosen[best] = True
+            # Top up underfull selections with unchosen points.
+            for j in np.where(~chosen)[0]:
+                if chosen.sum() >= n_evals:
+                    break
+                chosen[j] = True
+            leftover = Xc[~chosen]
+            leftover_y = (fv[~chosen] if fv is not None
+                          and fv.size >= Xc.shape[0]
+                          else np.full(leftover.shape[0], np.nan))
+            idx = np.where(chosen)[0]
+            Xc = Xc[idx]
+            fv = fv[idx] if fv is not None and fv.size else None
+        pts.append(Xc)
     n_have = sum(p.shape[0] for p in pts)
     n_rand = max(n_evals - n_have, 0)
     if n_rand > 0:
@@ -95,11 +134,11 @@ def initial_design(key, logger: FunctionLogger, n_evals: int,
         pts.append(plb + u * (pub - plb))
     X = np.concatenate(pts, axis=0)[:n_evals]
     for i, x in enumerate(X):
-        if (fvals_cache is not None and i < len(fvals_cache)
-                and np.isfinite(fvals_cache[i])):
-            logger.add(x, float(fvals_cache[i]))
+        if fv is not None and i < len(fv) and np.isfinite(fv[i]):
+            logger.add(x, float(fv[i]))
         else:
             logger.evaluate(x)
+    return leftover, leftover_y
 
 
 def get_search_points(key, n_search: int, vp: VariationalPosterior,
@@ -317,7 +356,9 @@ def gp_reupdate(cfg: GPConfig, gp: GP, logger: FunctionLogger) -> GP:
     s2p = (jnp.zeros(nb, dtype=dtype) if s2 is None
            else jnp.asarray(pad_to(s2, nb), dtype=dtype))
     mask = jnp.asarray(np.arange(nb) < n)
-    return _build_gp_jit(cfg, Xp, yp, s2p, mask, gp.hyp, gp.hyp_mask)
+    from vbmc_tpu.parallel.context import shard_gp
+    return shard_gp(_build_gp_jit(cfg, Xp, yp, s2p, mask, gp.hyp,
+                                  gp.hyp_mask))
 
 
 def _geomean_length_scale(cfg: GPConfig, gp: GP) -> np.ndarray:
@@ -331,7 +372,8 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                   sb: SearchBounds, options, *, acq_name: str,
                   tol_gp_var: float, var_log_joint=None,
                   full_update: bool = False, retrain_gp=None,
-                  refit_vp=None, fess_thresh: float = 1.0):
+                  refit_vp=None, fess_thresh: float = 1.0,
+                  optim_state=None, search_cache: Optional[np.ndarray] = None):
     """Acquire ``n_points`` new evaluations; returns (gp, vp).
 
     ``gp`` must be trained (call `initial_design` when there is none).
@@ -339,10 +381,21 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
     runs, cf. `activesample_vbmc.m:46-76, 429-473`), the provided
     ``retrain_gp(logger)`` / ``refit_vp(vp, gp)`` callbacks re-train the GP
     hyperparameters and re-fit the VP after each acquisition, gated on the
-    fractional effective sample size."""
+    fractional effective sample size. ``optim_state`` carries the
+    repeated-observation streak for noisy targets."""
     D = vp.D
     dtype = gp.X.dtype
     use_is = ACQ_INFO[acq_name]["importance_sampling"]
+
+    # Integer dimensions are rounded through the transform
+    # (`activesample_vbmc.m:219,248`, `misc/real2int_vbmc.m`).
+    integer_mask = np.zeros(D, dtype=bool)
+    if len(options.integer_vars):
+        integer_mask[np.asarray(options.integer_vars, dtype=int)] = True
+    has_int = bool(integer_mask.any())
+
+    repeat_obs = (logger.noise_flag and options.max_repeated_observations > 0
+                  and optim_state is not None)
 
     from vbmc_tpu.transforms import direct
     lb_eps, ub_eps = _hard_bound_eps(logger, options)
@@ -353,10 +406,13 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
 
         # Default search composition + CMA-ES refinement => the whole
         # point proposal runs as ONE device program (fused fast paths).
+        # Integer rounding and the repeated-observation check need host-side
+        # steps between sweep and evaluation, so they use the host path.
         fused_ok = (options.search_cache_frac == 0
                     and options.hpd_search_frac == 0
                     and options.search_optimizer == "cmaes"
-                    and options.search_cmaes_vp_init)
+                    and options.search_cmaes_vp_init
+                    and not has_int and not repeat_obs)
 
         # Importance-sampling state is rebuilt per point: the GP posterior
         # changes as evaluations accrue (`activesample_vbmc.m:208-211`).
@@ -428,7 +484,12 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             x_best = np.asarray(x_fused)
         else:
             Xsearch = get_search_points(k_search, options.ns_search, vp,
-                                        logger, sb, options)
+                                        logger, sb, options,
+                                        search_cache=search_cache)
+            if has_int:
+                from vbmc_tpu.transforms import real_to_int
+                Xsearch = np.asarray(real_to_int(
+                    logger.trinfo, jnp.asarray(Xsearch), integer_mask))
             Xs = jnp.asarray(Xsearch, dtype=dtype)
             if active_is_state is not None:
                 from vbmc_tpu.active_is import evaluate_is_acquisition
@@ -474,8 +535,57 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                                     popsize=popsize, smooth=smooth)
             # One device->host round trip for both values.
             f_ref, x_ref = jax.device_get((res.f_best, res.x_best))
+            x_ref = np.asarray(x_ref)
+            if has_int:
+                from vbmc_tpu.transforms import real_to_int
+                x_ref = np.asarray(real_to_int(
+                    logger.trinfo, jnp.asarray(x_ref)[None, :],
+                    integer_mask))[0]
+                # Re-evaluate at the rounded point (rounding may change acq).
+                xr = jnp.asarray(x_ref, dtype=dtype)[None, :]
+                if active_is_state is not None:
+                    from vbmc_tpu.active_is import evaluate_is_acquisition
+                    f_ref = float(np.asarray(evaluate_is_acquisition(
+                        cfg, acq_name, xr, vp, gp, state,
+                        active_is_state))[0])
+                else:
+                    f_ref = float(np.asarray(evaluate_acquisition(
+                        cfg, acq_name, xr, vp, gp, state,
+                        smooth=smooth))[0])
             if float(f_ref) < f_best:
-                x_best = np.asarray(x_ref)
+                x_best = x_ref
+                f_best = float(f_ref)
+
+        # Noisy repeated-observation logic (`activesample_vbmc.m:334-365`):
+        # when acquiring at an already-observed location is (discounted)
+        # better than the new candidate, re-measure the existing point —
+        # exercising the precision-weighted duplicate merge in the logger.
+        if repeat_obs and not fused_ok:
+            if (optim_state.repeated_obs_streak
+                    >= options.max_repeated_observations):
+                optim_state.repeated_obs_streak = 0
+            else:
+                X_t, _, _ = logger.training_data()
+                state_noreg = state._replace(regularize=jnp.asarray(False))
+                from vbmc_tpu.utils.math import bucket_n as _bn, pad_to as _pt
+                nb_t = _bn(X_t.shape[0])
+                Xt_p = jnp.asarray(_pt(X_t, nb_t), dtype=dtype)
+                if active_is_state is not None:
+                    from vbmc_tpu.active_is import evaluate_is_acquisition
+                    acq_t = evaluate_is_acquisition(cfg, acq_name, Xt_p, vp,
+                                                    gp, state_noreg,
+                                                    active_is_state)
+                else:
+                    acq_t = evaluate_acquisition(cfg, acq_name, Xt_p, vp, gp,
+                                                 state_noreg, smooth=smooth)
+                acq_t = np.asarray(acq_t)[:X_t.shape[0]]
+                acq_t = np.where(np.isfinite(acq_t), acq_t, np.inf)
+                idx_t = int(np.argmin(acq_t))
+                if acq_t[idx_t] < options.repeated_acq_discount * f_best:
+                    x_best = X_t[idx_t]
+                    optim_state.repeated_obs_streak += 1
+                else:
+                    optim_state.repeated_obs_streak = 0
 
         logger.evaluate(x_best)
         sb.expand(x_best)

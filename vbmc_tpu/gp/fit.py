@@ -298,19 +298,25 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
 
     widths_default = np.maximum(pub_np - plb_np, 1e-3)
     if opts.ninit > 0:
-        # Bucket the design size to a power of two (the cubic 1024->64
-        # schedule would otherwise trigger a recompile every iteration).
-        n_design = 64
-        while n_design < int(opts.ninit):
-            n_design *= 2
+        # The design is evaluated in FIXED-SIZE chunks: the reference's cubic
+        # 1024->64 ninit schedule (`get_GPTrainOptions:93-100`) would
+        # otherwise produce a new shape — and hence a fresh remote XLA
+        # compile — every few iterations. All chunks are dispatched before a
+        # single host pull collects the results.
+        CHUNK = 256
+        n_design = CHUNK * max(1, -(-int(opts.ninit) // CHUNK))
         u = np.asarray(jax.random.uniform(k_design, (n_design, nh)))
         design = plb_np + u * (pub_np - plb_np)
         # Warm starts overwrite the head of the design (fixed total size so
         # the vmapped evaluation compiles once per bucket).
         n_s = min(starts.shape[0], n_design // 2)
         design[:n_s] = starts[:n_s]
-        nll = np.asarray(_eval_design(cfg, jnp.asarray(design, dtype=dtype),
-                                      prior, Xp, yp, s2p, mask))
+        from vbmc_tpu.parallel.context import shard_rows
+        futs = [_eval_design(cfg, shard_rows(jnp.asarray(
+                    design[i:i + CHUNK], dtype=dtype)),
+                             prior, Xp, yp, s2p, mask)
+                for i in range(0, n_design, CHUNK)]
+        nll = np.concatenate(jax.device_get(futs))
         nll = np.where(np.isfinite(nll), nll, np.inf)
         order = np.argsort(nll)
         x0s = design[order[:max(opts.nopts, 1)]]
@@ -380,13 +386,20 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         hyp_mask = np.arange(sb) < ns
         hyp_full = flat  # pre-thin record for hyperparameter covariance
     else:
-        sb = 1
-        buf = hyp_map[None, :]
-        hyp_mask = np.array([True])
+        # MAP-only: still pad the sample axis to the smallest S bucket —
+        # dropping from S>1 to S=1 mid-run would recompile every downstream
+        # kernel (the S axis is a leading dim of all GP posterior arrays).
+        sb = bucket_ns(1)
+        buf = np.tile(hyp_map[None, :], (sb, 1))
+        hyp_mask = np.arange(sb) < 1
         hyp_full = hyp_map[None, :]
 
     gp = _build_gp_jit(cfg, Xp, yp, s2p, mask,
                        jnp.asarray(buf, dtype=dtype), jnp.asarray(hyp_mask))
+    # Multi-device: shard the hyperparameter-sample axis over the mesh so
+    # every downstream ensemble reduction runs as a cross-device psum.
+    from vbmc_tpu.parallel.context import shard_gp
+    gp = shard_gp(gp)
     info = dict(hyp_map=hyp_map, hyp_full=hyp_full, prior=prior,
                 ns_samples=ns, widths_default=widths_default)
     return gp, info

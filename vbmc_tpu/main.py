@@ -361,6 +361,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     key = jax.random.PRNGKey(opt.seed)
     gp = None
     hyp_warm = None
+    search_cache = None
     acq_names = tuple(_canonical_acq(a) for a in opt.search_acq_fcn)
     hedge = None
     if opt.acq_hedge and len(acq_names) > 1:
@@ -504,11 +505,17 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         if state.skip_active_sampling:
             state.skip_active_sampling = False
         elif gp is None:
-            initial_design(k_as, logger, opt.fun_eval_start, plb_t, pub_t,
-                           x0_cache=np.asarray(direct(
-                               trinfo, jnp.asarray(x0))),
-                           fvals_cache=np.asarray(opt.fvals, float)
-                           if opt.fvals is not None else None)
+            cache_t, _ = initial_design(
+                k_as, logger, opt.fun_eval_start, plb_t, pub_t,
+                x0_cache=np.asarray(direct(trinfo, jnp.asarray(x0))),
+                fvals_cache=np.asarray(opt.fvals, float)
+                if opt.fvals is not None else None)
+            if cache_t is not None and len(cache_t):
+                # Keep the leftover cache in ORIGINAL space so it survives
+                # input warps (`activesample_vbmc.m:545-558` search cache).
+                from vbmc_tpu.transforms import inverse as _inv
+                search_cache = np.asarray(_inv(logger.trinfo,
+                                               jnp.asarray(cache_t)))
         else:
             if hedge is not None:
                 acq_name = hedge.choose(rng)
@@ -555,7 +562,12 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 full_update=full_update,
                 retrain_gp=_retrain_gp if opt.active_sample_gp_update else None,
                 refit_vp=_refit_vp if opt.active_sample_vp_update else None,
-                fess_thresh=opt.active_sample_fess_thresh)
+                fess_thresh=opt.active_sample_fess_thresh,
+                optim_state=state,
+                search_cache=(np.asarray(direct(
+                    logger.trinfo, jnp.asarray(search_cache)))
+                    if search_cache is not None and len(search_cache)
+                    else None))
         timers["active_sampling"] += time.monotonic() - t
 
         # ------------------------------------------------------ GP training
@@ -643,6 +655,9 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                    for k in ("active_sampling", "gp_train",
                              "variational_fit", "finalize")}))
         timers_prev = dict(timers)
+        # Algorithmic-cost model (`activesample_vbmc.m:185-204`): recorded
+        # per iteration; consumed by the repeated-observation logic.
+        stats.last.t_algoperfuneval = st.update_cost_model(state, stats)
 
         # -------------------------------------------- termination & warmup
         is_finished, exitflag, msg, t_notes = st.check_termination(

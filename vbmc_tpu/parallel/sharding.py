@@ -39,15 +39,23 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+@partial(jax.jit, static_argnames=("cfg", "name", "n"))
+def _sweep_kernel(cfg: GPConfig, name: str, n: int, Xs, vp, gp, state):
+    from vbmc_tpu.acquisitions import evaluate_acquisition
+    acq = evaluate_acquisition(cfg, name, Xs, vp, gp, state)
+    acq = jnp.where(jnp.arange(acq.shape[0]) < n, acq, jnp.inf)
+    best = jnp.argmin(acq)
+    return Xs[best], acq[best], acq
+
+
 def sharded_acquisition_sweep(mesh: Mesh, cfg: GPConfig, name: str,
                               Xs, vp, gp, state, axis_name: str = "dev"):
     """Acquisition sweep with the candidate axis sharded across the mesh.
 
     Returns (best_x, best_acq, acq_values). The argmin reduction crosses
-    shards; XLA lowers it to an all-reduce over ICI.
+    shards; XLA lowers it to an all-reduce over ICI. The kernel is a
+    module-level jit — repeated calls hit the compile cache.
     """
-    from vbmc_tpu.acquisitions import evaluate_acquisition
-
     n = Xs.shape[0]
     n_dev = mesh.devices.size
     pad = (-n) % n_dev
@@ -55,15 +63,19 @@ def sharded_acquisition_sweep(mesh: Mesh, cfg: GPConfig, name: str,
         Xs = jnp.concatenate([Xs, jnp.tile(Xs[-1:], (pad, 1))], axis=0)
     Xs = shard_batch(mesh, Xs, axis_name)
     vp, gp, state = replicate(mesh, (vp, gp, state))
+    return _sweep_kernel(cfg, name, n, Xs, vp, gp, state)
 
-    @jax.jit
-    def sweep(Xs, vp, gp, state):
-        acq = evaluate_acquisition(cfg, name, Xs, vp, gp, state)
-        acq = jnp.where(jnp.arange(acq.shape[0]) < n, acq, jnp.inf)
-        best = jnp.argmin(acq)
-        return Xs[best], acq[best], acq
 
-    return sweep(Xs, vp, gp, state)
+@partial(jax.jit, static_argnames=("cfg", "flags"))
+def _elbo_step_kernel(cfg: GPConfig, flags, theta, gp, mu0, sigma0, lam0,
+                      w0, kmask):
+    from vbmc_tpu import elbo as eb
+
+    def f(th):
+        F, _ = eb.negelcbo(cfg, th, gp, mu0, sigma0, lam0, w0, kmask,
+                           flags, 0.0, 0, 0, jax.random.PRNGKey(0))
+        return F
+    return jax.value_and_grad(f)(theta)
 
 
 def sharded_hyp_ensemble_step(mesh: Mesh, cfg: GPConfig, theta, gp,
@@ -73,8 +85,6 @@ def sharded_hyp_ensemble_step(mesh: Mesh, cfg: GPConfig, theta, gp,
     sharded across the mesh: each device holds a slice of the posterior
     factorizations (alpha, L) and computes its partial quadrature; the
     sample average is a cross-device mean (psum)."""
-    from vbmc_tpu import elbo as eb
-
     sharded_gp = gp._replace(
         hyp=shard_batch(mesh, gp.hyp, axis_name),
         hyp_mask=shard_batch(mesh, gp.hyp_mask, axis_name),
@@ -85,22 +95,16 @@ def sharded_hyp_ensemble_step(mesh: Mesh, cfg: GPConfig, theta, gp,
     )
     rest = replicate(mesh, (theta, mu0, sigma0, lam0, w0, kmask))
     theta, mu0, sigma0, lam0, w0, kmask = rest
-
-    @jax.jit
-    def step(theta, gp, mu0, sigma0, lam0, w0, kmask):
-        def f(th):
-            F, _ = eb.negelcbo(cfg, th, gp, mu0, sigma0, lam0, w0, kmask,
-                               flags, 0.0, 0, 0, jax.random.PRNGKey(0))
-            return F
-        return jax.value_and_grad(f)(theta)
-
-    return step(theta, sharded_gp, mu0, sigma0, lam0, w0, kmask)
+    return _elbo_step_kernel(cfg, flags, theta, sharded_gp, mu0, sigma0,
+                             lam0, w0, kmask)
 
 
 def sharded_slice_chains(mesh: Mesh, logpdf_args_fn, x0s, widths, lb, ub,
                          n_keep, burn, thin, n_keep_max: int,
                          key, axis_name: str = "dev"):
-    """Slice-sampling chains sharded across devices (chains = data axis)."""
+    """Slice-sampling chains sharded across devices (chains = data axis).
+    ``logpdf_args_fn`` is a closure, so this entry point retraces per
+    target; the in-loop path shards chains through `gp/fit.py` instead."""
     from vbmc_tpu.samplers.slice import slice_sample_chain
 
     C = x0s.shape[0]
@@ -108,11 +112,7 @@ def sharded_slice_chains(mesh: Mesh, logpdf_args_fn, x0s, widths, lb, ub,
     x0s = shard_batch(mesh, x0s, axis_name)
     keys = shard_batch(mesh, keys, axis_name)
 
-    @jax.jit
-    def run(keys, x0s):
-        def one(k, x0):
-            return slice_sample_chain(k, logpdf_args_fn, x0, widths, lb, ub,
-                                      n_keep, burn, thin, n_keep_max)
-        return jax.vmap(one)(keys, x0s)
-
-    return run(keys, x0s)
+    def one(k, x0):
+        return slice_sample_chain(k, logpdf_args_fn, x0, widths, lb, ub,
+                                  n_keep, burn, thin, n_keep_max)
+    return jax.jit(jax.vmap(one))(keys, x0s)

@@ -37,6 +37,7 @@ class IterStats:
     gp_hyp_full: Optional[np.ndarray] = None  # pre-thin samples
     gp_ns: int = 0
     timer: dict = dataclasses.field(default_factory=dict)
+    t_algoperfuneval: float = math.nan
 
 
 @dataclasses.dataclass
@@ -84,6 +85,54 @@ class OptimState:
     # Fitness-shaping (output warp) threshold below ymax; None when off
     # (cf. `setupvars_vbmc.m:303-306`, adapted at `vbmc.m:838-846`).
     outwarp_delta: Optional[float] = None
+    # Repeated-observation streak for noisy targets
+    # (`activesample_vbmc.m:334-365`).
+    repeated_obs_streak: int = 0
+    # Algorithmic cost per function evaluation: per-eval overhead plus the
+    # predicted marginal GP-train cost of one more training point
+    # (`activesample_vbmc.m:185-204`).
+    t_algoperfuneval: float = math.nan
+
+
+# ----------------------------------------------------------------------
+# GP-train cost model (cf. private/activesample_vbmc.m:185-204)
+# ----------------------------------------------------------------------
+
+def update_cost_model(state: OptimState, stats: Stats) -> float:
+    """Estimate the algorithmic cost per target evaluation.
+
+    t_base is the previous iteration's total algorithmic time; the marginal
+    cost of growing the training set is predicted by a log-log regression of
+    recorded gp_train times against N (the reference's
+    `t_algoperfuneval`). The value is recorded for observability and used by
+    the repeated-observation logic; it also lets callers trade a full
+    hyperparameter retrain against a cheap posterior refresh.
+    """
+    it = len(stats)
+    if it == 0:
+        return math.nan
+    t = stats.last.timer
+    t_base = sum(t.get(k, 0.0) for k in ("active_sampling", "gp_train",
+                                         "variational_fit", "finalize"))
+    neff = stats.series("neff")
+    delta_neff = max(1.0, neff[-1] - neff[-2]) if it >= 2 else max(neff[0], 1.0)
+
+    gp_diff = 0.0
+    if it > 3:
+        gp_times = np.asarray([s.timer.get("gp_train", np.nan)
+                               for s in stats.iterations])
+        N_seq = stats.series("N").astype(float)
+        lo = max(it - 10, it // 2)
+        xx = np.log(N_seq[lo:])
+        yy = np.log(np.maximum(gp_times[lo:], 1e-6))
+        good = np.isfinite(xx) & np.isfinite(yy)
+        if len(np.unique(xx[good])) > 1:
+            p = np.polyfit(xx[good], yy[good], 1)
+            pred = np.exp(np.polyval(p, np.log([N_seq[-1], N_seq[-1] + 1])))
+            gp_diff = float(pred[1] - pred[0])
+
+    state.t_algoperfuneval = t_base / delta_neff + max(0.0, gp_diff)
+    return state.t_algoperfuneval
 
 
 # ----------------------------------------------------------------------

@@ -69,21 +69,82 @@ def next_bucket(n: int, buckets) -> int:
     return int(buckets[-1])
 
 
-N_BUCKETS = (32, 64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 1024)
-K_BUCKETS = (4, 8, 12, 16, 24, 32, 40, 52, 64)
-NS_BUCKETS = (1, 2, 4, 8, 16, 32, 48, 64, 80)
+# Shape-bucket ladders. Every jitted kernel is keyed by the padded shapes,
+# so each rung of a ladder is a separate XLA compile. Two profiles:
+#
+# - "fine": tight padding, minimal wasted FLOPs. Right for CPU, where the
+#   padded compute is the cost and local compiles are cheap.
+# - "coarse": few, wide rungs. Right for TPU through the remote tunnel,
+#   where a single compile costs 0.5-15 s (dominating a whole run's compute)
+#   and the padded matrices (N<=1024, K<=64, S<=80) are far below the MXU's
+#   saturation point — padding is effectively free, recompiles are not.
+#
+# Default: coarse on accelerators, fine on CPU; override with
+# VBMC_BUCKETS=fine|coarse or set_bucket_mode().
+_FINE_N = (32, 64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 1024)
+_FINE_K = (4, 8, 12, 16, 24, 32, 40, 52, 64)
+_FINE_NS = (1, 2, 4, 8, 16, 32, 48, 64, 80)
+# Coarse rungs are chosen so a default run (N <= ~150 evals, K <= ~28,
+# ns <= 16) NEVER crosses a bucket boundary after the first iterations: a
+# single mid-run crossing was measured at 15-35 s of remote compiles —
+# far more than the padded compute it avoids.
+_COARSE_N = (128, 256, 512, 1024)
+_COARSE_K = (32, 64)
+_COARSE_NS = (16, 80)
+
+N_BUCKETS = _FINE_N     # full ladder (top rung shared by both profiles)
+K_BUCKETS = _FINE_K
+NS_BUCKETS = _FINE_NS
+
+_bucket_mode = None
+
+
+def bucket_mode() -> str:
+    """Resolve the active bucket profile ("fine" | "coarse"), lazily."""
+    global _bucket_mode
+    if _bucket_mode is None:
+        import os
+        v = os.environ.get("VBMC_BUCKETS", "auto")
+        if v in ("fine", "coarse"):
+            _bucket_mode = v
+        else:
+            try:
+                _bucket_mode = ("fine" if jax.default_backend() == "cpu"
+                                else "coarse")
+            except Exception:
+                _bucket_mode = "fine"
+    return _bucket_mode
+
+
+def set_bucket_mode(mode: str):
+    """Force the bucket profile (tests / benchmarking)."""
+    global _bucket_mode
+    if mode not in ("fine", "coarse", None):
+        raise ValueError("mode must be 'fine', 'coarse', or None (auto)")
+    _bucket_mode = mode
 
 
 def bucket_n(n: int) -> int:
-    return next_bucket(n, N_BUCKETS)
+    return next_bucket(n, _COARSE_N if bucket_mode() == "coarse"
+                       else _FINE_N)
 
 
 def bucket_k(k: int) -> int:
-    return next_bucket(k, K_BUCKETS)
+    return next_bucket(k, _COARSE_K if bucket_mode() == "coarse"
+                       else _FINE_K)
 
 
 def bucket_ns(ns: int) -> int:
-    return next_bucket(max(ns, 1), NS_BUCKETS)
+    return next_bucket(max(ns, 1), _COARSE_NS if bucket_mode() == "coarse"
+                       else _FINE_NS)
+
+
+def bucket_pow2(n: int, lo: int = 8) -> int:
+    """Smallest power of two >= max(n, lo)."""
+    p = lo
+    while p < n:
+        p *= 2
+    return p
 
 
 def pad_to(x: np.ndarray, n: int, axis: int = 0, fill=0.0) -> np.ndarray:

@@ -21,18 +21,18 @@ from vbmc_tpu.gp.gp import GP
 from vbmc_tpu import elbo as eb
 from vbmc_tpu.vp import VariationalPosterior, masked_softmax
 from vbmc_tpu.optim import minimize_lbfgs_bounded, fminadam
-from vbmc_tpu.utils.math import bucket_k
+from vbmc_tpu.utils.math import bucket_k, bucket_mode, bucket_pow2
 
 
 def _bucket_ent(n: int) -> int:
     """Bucket per-component entropy sample counts to powers of two so jit
-    caches stay small (more samples than requested is strictly better)."""
+    caches stay small (more samples than requested is strictly better).
+    In coarse bucket mode (TPU) the floor is raised so the whole K schedule
+    shares at most two variants — the extra MC samples are cheaper than one
+    remote recompile."""
     if n <= 0:
         return 0
-    p = 8
-    while p < n:
-        p *= 2
-    return p
+    return bucket_pow2(n, lo=64 if bucket_mode() == "coarse" else 8)
 
 
 # ----------------------------------------------------------------------
@@ -262,11 +262,15 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         types = np.concatenate(types)
 
         # Bucket the candidate count to a power of two (pad by repeating the
-        # first candidate) so the sieve kernel compiles O(log) variants.
+        # first candidate) so the sieve kernel compiles O(log) variants. In
+        # coarse mode the sieve always runs at the full 50*k_max size: the
+        # cheap-refit path (ns_elbo_incr) then shares the full path's
+        # compiled kernel instead of adding shape variants of its own.
         n_c = mu_c.shape[0]
-        n_pad = 8
-        while n_pad < n_c:
-            n_pad *= 2
+        if bucket_mode() == "coarse":
+            n_pad = bucket_pow2(max(n_c, 50 * k_max))
+        else:
+            n_pad = bucket_pow2(n_c)
         if n_pad > n_c:
             reps = np.zeros(n_pad - n_c, dtype=int)
             mu_c = np.concatenate([mu_c, mu_c[reps]])
@@ -287,6 +291,10 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         tmpl_w = jnp.asarray(w_c[0], dtype=dtype)
 
         keys = jax.random.split(jax.random.fold_in(key, 3), thetas.shape[0])
+        # Multi-device: the sieve candidates are pure data parallelism.
+        from vbmc_tpu.parallel.context import shard_rows
+        thetas = shard_rows(thetas)
+        keys = shard_rows(keys)
         # Sieve uses the *fast* entropy (0 by default => deterministic bound).
         nelcbo = np.asarray(_sieve_eval(cfg, thetas, gp, tmpl_mu, tmpl_sigma,
                                         tmpl_lam, tmpl_w, kmask, flags, 0,
@@ -347,9 +355,7 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     # vmapped optimizer compiles ONE variant per theta size, not one per
     # batch size — a per-variant remote compile costs more than the padded
     # rows' device time.
-    n_opts_b = 1
-    while n_opts_b < n_opts:
-        n_opts_b *= 2
+    n_opts_b = bucket_pow2(n_opts, lo=2 if bucket_mode() == "coarse" else 1)
     starts_list = [pick_start(i) for i in range(n_opts)]
     starts_list += [starts_list[0]] * (n_opts_b - n_opts)
     theta0s = jnp.asarray(np.stack(starts_list))
@@ -362,7 +368,8 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
                                      elcbo_beta, bnd, keys_i,
                                      options.lbfgs_iters)
         mids_all = thetas_opt
-        midkeys = [jax.random.fold_in(keys_i[i], 7) for i in range(n_opts)]
+        midkeys = [jax.random.fold_in(keys_i[i], 7)
+                   for i in range(n_opts_b)]
     else:
         # Stochastic path: Adam on the MC-entropy objective, vmapped.
         step_min = min(options.sgd_step_size, 0.001)
@@ -387,6 +394,15 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
             mids_list.append(xs[i])
             midkeys.append(jax.random.fold_in(keys_i[i], 7))
         mids_all = jnp.asarray(np.stack(mids_list))
+
+    # Pad the precise-evaluation batch to a power of two (repeat row 0) so
+    # the 1-start and 2-start paths share one compiled variant per size class.
+    n_mid = mids_all.shape[0]
+    n_mid_b = bucket_pow2(n_mid, lo=4 if bucket_mode() == "coarse" else 1)
+    if n_mid_b > n_mid:
+        mids_all = jnp.concatenate(
+            [mids_all, jnp.tile(mids_all[:1], (n_mid_b - n_mid, 1))])
+        midkeys = list(midkeys) + [midkeys[0]] * (n_mid_b - n_mid)
 
     sts = _full_eval_batch(cfg, mids_all, gp, tmpl, flags, ns_fine_k,
                            jnp.stack(midkeys))
