@@ -80,3 +80,42 @@ def test_vpoptimize_stochastic_entropy_path(rng):
                      n_ent=64 * K)  # force MC-entropy path
     assert abs(res.elbo) < 0.3, res.elbo
     assert np.isfinite(res.elbo_sd)
+
+
+def test_vpoptimize_prunes_redundant_components(rng):
+    """Weight pruning (`vpoptimize_vbmc.m:156-186`, batched here): fitting a
+    unimodal Gaussian with K=6 components must prune low-weight components
+    without hurting the ELBO."""
+    D = 2
+    lnZ = 1.3
+    sd = np.array([0.9, 0.7])
+
+    def logp(x):
+        return (-0.5 * np.sum((x / sd) ** 2, -1)
+                - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)) + lnZ)
+
+    X = rng.standard_normal((60, D)) * 1.5
+    y = logp(X)
+    cfg = GPConfig(D=D)
+    gp, _ = train_gp(jax.random.PRNGKey(9), cfg, X, y, None,
+                     plb_tr=np.full(D, -2.0), pub_tr=np.full(D, 2.0),
+                     opts=TrainOptions(ns_samples=0, ninit=256, nopts=2))
+
+    trinfo = create_trinfo([-np.inf] * D, [np.inf] * D,
+                           [-2.0] * D, [2.0] * D)
+    K = 6
+    vp0 = make_vp(trinfo, mu=0.3 * rng.standard_normal((K, D)),
+                  sigma=0.5, lam=np.ones(D), k_max=bucket_k(K))
+    options = VBMCOptions().resolve(D)
+    res = vpoptimize(jax.random.PRNGKey(2), cfg, vp0, gp, K, options,
+                     warmup=False, entropy_switch=False,
+                     n_fast_opts=options.evalopt("ns_elbo", K),
+                     n_slow_opts=1)
+    K_after = int(np.sum(np.asarray(res.vp.kmask)))
+    assert K_after == K - res.pruned
+    assert abs(res.elbo - lnZ) < 0.25, (res.elbo, lnZ, res.pruned)
+    # Active weights renormalized; pruned components zeroed.
+    w = np.asarray(res.vp.w)
+    km = np.asarray(res.vp.kmask)
+    assert abs(w[km].sum() - 1.0) < 1e-8
+    assert np.all(w[~km] == 0.0)

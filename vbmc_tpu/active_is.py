@@ -77,36 +77,72 @@ def build_is_state(key, cfg: GPConfig, acq_name: str,
         key, cfg, acq_name, vp, gp,
         int(options.active_importance_sampling_vp_samples),
         int(options.active_importance_sampling_box_samples),
-        int(options.active_importance_sampling_mcmc_samples))
+        int(options.active_importance_sampling_mcmc_samples),
+        mh_steps=int(options.active_importance_sampling_mh_steps),
+        fess_thresh=float(options.active_importance_sampling_fess_thresh))
+
+
+def _mixture_draw(key, vp: VariationalPosterior, lo, hi, n_each: int,
+                  n_box: int, dtype):
+    """Draw one batch from the stratified IS proposal mixture: the smoothed
+    variational posterior at 3 widening scales (`ais:116-126`) plus
+    box-uniform draws around the training inputs (`ais:138-146`).
+    Returns (X (Na, D), log_prop (Na,))."""
+    D = vp.D
+    k1, k2 = jax.random.split(key)
+    parts = []
+    scales = (1.0, np.sqrt(2.0), 2.0)
+    for i, sc in enumerate(scales):
+        vp_s = vp._replace(sigma=vp.sigma * sc)
+        parts.append(vp_rnd(vp_s, jax.random.fold_in(k1, i), n_each,
+                            orig_flag=False, balance_flag=True))
+    u = jax.random.uniform(k2, (max(n_box, 1), D), dtype=dtype)
+    parts.append(lo + u * (hi - lo))
+    Xa = jnp.concatenate(parts, axis=0)
+    Na = Xa.shape[0]
+
+    # Exact proposal density of the stratified mixture (a misspecified
+    # proposal would bias the self-normalized IS estimator): the 3 smoothed
+    # vp components at their draw fractions + the box-uniform component.
+    comps = [jnp.log(n_each / Na)
+             + vp_log_pdf_trans(vp._replace(sigma=vp.sigma * sc), Xa)
+             for sc in scales]
+    log_box = -jnp.sum(jnp.log(hi - lo))
+    in_box = jnp.all((Xa >= lo) & (Xa <= hi), axis=1)
+    comps.append(jnp.where(in_box,
+                           jnp.log(max(n_box, 1) / Na) + log_box, -jnp.inf))
+    log_prop = jax.scipy.special.logsumexp(jnp.stack(comps, axis=0), axis=0)
+    return Xa, log_prop
 
 
 @partial(jax.jit, static_argnames=("cfg", "acq_name", "n_vp", "n_box",
-                                   "n_mcmc"))
+                                   "n_mcmc", "mh_steps", "fess_thresh"))
 def build_is_state_core(key, cfg: GPConfig, acq_name: str,
                         vp: VariationalPosterior, gp: GP, n_vp: int,
-                        n_box: int, n_mcmc: int) -> ISState:
+                        n_box: int, n_mcmc: int, mh_steps: int = 0,
+                        fess_thresh: float = 0.9) -> ISState:
     """Importance-sample set as one device program: proposals from the
     smoothed variational posterior (3 widening scales) plus box-uniform
     draws around training inputs; weights from the current GP.
 
-    The MCMC-refresh path of the reference is replaced by a larger
-    stratified proposal set — one batched GP predict instead of per-sample
-    chains (same estimand, better device utilization).
+    fESS-gated MCMC refresh (`ais:37-104,153-235`), redesigned TPU-first:
+    the reference advances walkers one at a time by ensemble slice sampling
+    (`eissample_lite.m`) — a serial chain of single-point GP predictions.
+    Here, when the fractional ESS of resampling the proposal set toward the
+    IS *base* density (`acqviqr_vbmc.m:22-27` islogf: q(x)*2sinh(u*s(x)) for
+    VIQR, exp(fmu)*2sinh(u*s) for IMIQR) falls below ``fess_thresh``, the
+    set is importance-resampled to the base density and refined with
+    ``mh_steps`` rounds of *independent* Metropolis-Hastings — each round
+    one batched GP predict over all Na points. Same stationary density,
+    device-shaped. IS weights then switch to log q - log base (exact for the
+    refreshed set), giving bounded sinh-ratio weights at evaluation time.
     """
     D = vp.D
     dtype = gp.X.dtype
 
     k1, k2, k3 = jax.random.split(key, 3)
-    parts = []
-    # Smoothed VP proposals at 3 widening scales (ais:116-126).
-    scales = (1.0, np.sqrt(2.0), 2.0)
-    n_each = max((n_vp + n_mcmc) // len(scales), 1)
-    for i, sc in enumerate(scales):
-        vp_s = vp._replace(sigma=vp.sigma * sc)
-        parts.append(vp_rnd(vp_s, jax.random.fold_in(k1, i), n_each,
-                            orig_flag=False, balance_flag=True))
-    # Box-uniform around training points (ais:138-146), masked device
-    # min/max so the whole build stays inside one jit.
+    # Box-uniform bounds around training points, masked device min/max so
+    # the whole build stays inside one jit.
     m = gp.mask.astype(dtype)
     big = jnp.finfo(dtype).max
     Xmin = jnp.min(jnp.where(m[:, None] > 0, gp.X, big), axis=0)
@@ -114,34 +150,97 @@ def build_is_state_core(key, cfg: GPConfig, acq_name: str,
     diam = Xmax - Xmin
     lo = Xmin - 0.5 * diam
     hi = Xmax + 0.5 * diam
-    u = jax.random.uniform(k2, (max(n_box, 1), D), dtype=dtype)
-    parts.append(lo + u * (hi - lo))
-    Xa = jnp.concatenate(parts, axis=0)
-    Na = Xa.shape[0]
 
-    # Proposal density (mixture of the pieces above, approximated by the
-    # smoothed vp at the middle scale + uniform box component).
-    vp_mid = vp._replace(sigma=vp.sigma * np.sqrt(2.0))
-    log_prop_vp = vp_log_pdf_trans(vp_mid, Xa)
-    log_box = -jnp.sum(jnp.log(hi - lo))
-    in_box = jnp.all((Xa >= lo) & (Xa <= hi), axis=1)
-    frac_box = max(n_box, 1) / Na
-    log_prop = jnp.logaddexp(
-        jnp.log(1 - frac_box) + log_prop_vp,
-        jnp.where(in_box, jnp.log(frac_box) + log_box, -jnp.inf))
+    n_each = max((n_vp + n_mcmc) // 3, 1)
+    Xa, log_prop = _mixture_draw(k1, vp, lo, hi, n_each, n_box, dtype)
+    Na = Xa.shape[0]
 
     fmu, fs2 = gp_predict_full(cfg, gp, Xa)            # (S, Na)
 
-    if acq_name == "viqr":
-        # Variational IQR: weights ~ q(x) / proposal; the f-dependent part
-        # enters through the sinh term at evaluation time.
-        logq = vp_log_pdf_trans(vp, Xa)
-        lnw = logq[None, :] - log_prop[None, :] + jnp.zeros_like(fmu)
-    else:
-        # IMIQR: weights ~ exp(fmu + u*sqrt(fs2)) * sinh-term density.
-        lnw = (fmu + _U_IQR * jnp.sqrt(jnp.maximum(fs2, 0.0))
-               - log_prop[None, :])
+    hm = gp.hyp_mask.astype(dtype)
+    ns = jnp.maximum(jnp.sum(hm), 1.0)
 
+    def _lnbase(X, fmu_x, fs2_x):
+        """Log IS base density (hyp-averaged): q*2sinh(u*s) for VIQR,
+        exp(fmu)*2sinh(u*s) for IMIQR (`acqviqr_vbmc.m:25-28`,
+        `acqimiqr_vbmc.m:22-26`)."""
+        s2bar = jnp.sum(fs2_x * hm[:, None], axis=0) / ns
+        sbar = jnp.sqrt(jnp.maximum(s2bar, 1e-30))
+        ln_sinh = jnp.log(2.0) + _log_sinh(_U_IQR * sbar)
+        if acq_name == "viqr":
+            return vp_log_pdf_trans(vp, X) + ln_sinh
+        fbar = jnp.sum(fmu_x * hm[:, None], axis=0) / ns
+        return fbar + ln_sinh
+
+    if mh_steps > 0:
+        lnbase = _lnbase(Xa, fmu, fs2)
+        # Fractional ESS of retargeting the proposal set to the base
+        # density (`fess_vbmc.m`; gate per `ais:60-64`).
+        r = lnbase - log_prop
+        r = jnp.where(jnp.isfinite(r), r, -jnp.inf)
+        lr = r - jax.scipy.special.logsumexp(r)
+        fess = 1.0 / jnp.sum(jnp.exp(2.0 * lr)) / Na
+        need = fess < fess_thresh
+
+        # Importance sampling-resampling toward the base density (ais:105).
+        k_r, k_mh = jax.random.split(k3)
+        idx = jax.random.categorical(k_r, r, shape=(Na,))
+        idx = jnp.where(need, idx, jnp.arange(Na))
+        Xa_c = Xa[idx]
+        lnb_c = lnbase[idx]
+        lp_c = log_prop[idx]
+        fmu_c = fmu[:, idx]
+        fs2_c = fs2[:, idx]
+
+        # Independent-MH refinement: one batched proposal draw + one batched
+        # GP predict per round (replaces the serial walker sweeps of
+        # `eissample_lite.m`).
+        def mh_round(carry, k):
+            Xc, lnb, lp, fm, fv = carry
+            ky, ka = jax.random.split(k)
+            Y, lp_y = _mixture_draw(ky, vp, lo, hi, n_each, n_box, dtype)
+            fmu_y, fs2_y = gp_predict_full(cfg, gp, Y)
+            lnb_y = _lnbase(Y, fmu_y, fs2_y)
+            ratio = (lnb_y - lp_y) - (lnb - lp)
+            accept = (jnp.log(jax.random.uniform(ka, (Na,), dtype=dtype))
+                      < ratio) & need
+            Xc = jnp.where(accept[:, None], Y, Xc)
+            lnb = jnp.where(accept, lnb_y, lnb)
+            lp = jnp.where(accept, lp_y, lp)
+            fm = jnp.where(accept[None, :], fmu_y, fm)
+            fv = jnp.where(accept[None, :], fs2_y, fv)
+            return (Xc, lnb, lp, fm, fv), None
+
+        (Xa_c, lnb_c, lp_c, fmu_c, fs2_c), _ = jax.lax.scan(
+            mh_round, (Xa_c, lnb_c, lp_c, fmu_c, fs2_c),
+            jax.random.split(k_mh, mh_steps))
+
+        # Refreshed set samples the base density: exact weights
+        # log q - log base (VIQR) / fmu_s - log base (IMIQR); otherwise
+        # keep the proposal-weighted set.
+        Xa = jnp.where(need, Xa_c, Xa)
+        fmu = jnp.where(need, fmu_c, fmu)
+        fs2 = jnp.where(need, fs2_c, fs2)
+        if acq_name == "viqr":
+            logq = vp_log_pdf_trans(vp, Xa)
+            lnw_ref = (logq - lnb_c)[None, :] + jnp.zeros_like(fmu)
+            lnw_prop = logq[None, :] - log_prop[None, :] + jnp.zeros_like(fmu)
+        else:
+            lnw_ref = fmu - lnb_c[None, :]
+            lnw_prop = fmu - log_prop[None, :]
+        lnw = jnp.where(need, lnw_ref, lnw_prop)
+    else:
+        if acq_name == "viqr":
+            # Variational IQR: weights ~ q(x) / proposal; the f-dependent
+            # part enters through the sinh term at evaluation time.
+            logq = vp_log_pdf_trans(vp, Xa)
+            lnw = logq[None, :] - log_prop[None, :] + jnp.zeros_like(fmu)
+        else:
+            # IMIQR: weights = fixed integrand / proposal = fmu - ln prop
+            # (`ais:318-323` islogf1; the sinh factor enters at eval time).
+            lnw = fmu - log_prop[None, :]
+
+    lnw = jnp.where(jnp.isfinite(lnw), lnw, -jnp.inf)
     # Normalize per sample (log-mean-exp).
     lnw = lnw - jax.scipy.special.logsumexp(
         lnw, axis=1, keepdims=True)

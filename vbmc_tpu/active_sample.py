@@ -316,11 +316,13 @@ def _argmin_and_refine(k_cma, Xs, acq, cov_t, sb_lb, sb_ub, f_batch,
 
 @partial(jax.jit, static_argnames=("cfg", "name", "n_search", "n_heavy",
                                    "n_mvn", "n_box", "n_is_vp", "n_is_box",
-                                   "n_is_mcmc", "max_evals", "popsize"))
+                                   "n_is_mcmc", "mh_steps", "fess_thresh",
+                                   "max_evals", "popsize"))
 def _propose_point_is(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
                       sb_ub, n_search: int, n_heavy: int, n_mvn: int,
                       n_box: int, n_is_vp: int, n_is_box: int,
-                      n_is_mcmc: int, max_evals: int, popsize: int):
+                      n_is_mcmc: int, mh_steps: int, fess_thresh: float,
+                      max_evals: int, popsize: int):
     """Fused VIQR/IMIQR proposal: IS-state build + candidate generation +
     sweep + CMA-ES refinement as one device program (the noisy-target
     analogue of `_propose_point`; the per-point IS rebuild is what makes
@@ -330,7 +332,8 @@ def _propose_point_is(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
 
     k_is, k_gen, k_cma = jax.random.split(key, 3)
     ais = build_is_state_core(k_is, cfg, name, vp, gp, n_is_vp, n_is_box,
-                              n_is_mcmc)
+                              n_is_mcmc, mh_steps=mh_steps,
+                              fess_thresh=fess_thresh)
     Xs, cov_t = _gen_candidates(k_gen, vp, gp, sb_lb, sb_ub, n_search,
                                 n_heavy, n_mvn, n_box)
     acq = evaluate_is_acquisition(cfg, name, Xs, vp, gp, state, ais)
@@ -480,6 +483,10 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                         options.active_importance_sampling_box_samples),
                     n_is_mcmc=int(
                         options.active_importance_sampling_mcmc_samples),
+                    mh_steps=int(
+                        options.active_importance_sampling_mh_steps),
+                    fess_thresh=float(
+                        options.active_importance_sampling_fess_thresh),
                     **common)
             x_best = np.asarray(x_fused)
         else:

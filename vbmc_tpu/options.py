@@ -180,6 +180,10 @@ class VBMCOptions:
     active_importance_sampling_box_samples: int = 100
     active_importance_sampling_mcmc_samples: int = 100
     active_importance_sampling_mcmc_thin: int = 1
+    # TPU-native replacement for the reference's ensemble-slice IS refresh
+    # (`activeimportancesampling_vbmc.m:37-104`): rounds of batched
+    # independent-MH toward the IS base density when fESS is low (0 = off).
+    active_importance_sampling_mh_steps: int = 3
     active_sample_fess_thresh: float = 1.0
     active_importance_sampling_fess_thresh: float = 0.9
     active_search_bound: float = 2.0

@@ -435,34 +435,44 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         threshold_mult = options.evalopt("pruning_threshold_multiplier", K_new)
         pruning_threshold = options.tol_improvement * threshold_mult
         checked = np.zeros(k_max, dtype=bool)
+        # All candidate single-component removals are evaluated as ONE
+        # vmapped batch per round (padded to a fixed width so the kernel
+        # compiles once); the least-damaging removal below threshold is
+        # committed and the loop repeats against the new baseline. Same
+        # greedy one-at-a-time semantics as `vpoptimize_vbmc.m:156-186`,
+        # at ~1 device dispatch per accepted prune instead of one per try.
+        P = 8
         while True:
             small = np.where((w_cur < options.tol_weight) & kmask_np
                              & ~checked)[0]
             if small.size == 0 or kmask_np.sum() <= 1:
                 break
-            idx = int(rng.choice(small))
-            kmask_try = kmask_np.copy()
-            kmask_try[idx] = False
-            w_try = w_cur * kmask_try
-            w_try = w_try / w_try.sum()
-            th_try = _theta_from_arrays(
-                flags, mu_cur, sg_cur, lam_cur, w_try, jnp.asarray(kmask_try))
-            tmpl_try = tmpl._replace(kmask=jnp.asarray(kmask_try),
-                                     w=jnp.asarray(w_try))
-            st_try = _full_eval(cfg, th_try, gp, tmpl_try, flags, ns_fine_k,
-                                jax.random.fold_in(key, 999 + idx))
-            elbo_try = float(st_try["elbo"])
-            sd_try = math.sqrt(max(float(st_try["varF"]), 0.0))
-            d_elcbo = abs((elbo_try - options.elcbo_impro_weight * sd_try)
-                          - (elbo_cur - options.elcbo_impro_weight * elbo_sd_cur))
-            if d_elcbo < pruning_threshold:
-                kmask_np = kmask_try
-                w_cur = np.asarray(st_try["w"])
-                elbo_cur, elbo_sd_cur = elbo_try, sd_try
-                st_cur = st_try
-                pruned += 1
-            else:
-                checked[idx] = True
+            cand = small[:P]
+            idxs = np.resize(cand, P)
+            keys_p = jnp.stack([jax.random.fold_in(key, 999 + int(i) + 31 * j)
+                                for j, i in enumerate(idxs)])
+            sts_p = _prune_eval_batch(
+                cfg, gp, jnp.asarray(mu_cur), jnp.asarray(sg_cur),
+                jnp.asarray(lam_cur), jnp.asarray(w_cur),
+                jnp.asarray(kmask_np), jnp.asarray(idxs, dtype=jnp.int32),
+                flags, ns_fine_k, keys_p)
+            elbos_p, varFs_p = jax.device_get((sts_p["elbo"], sts_p["varF"]))
+            n_c = len(cand)
+            sds_p = np.sqrt(np.maximum(varFs_p[:n_c], 0.0))
+            d_elcbo = np.abs(
+                (elbos_p[:n_c] - options.elcbo_impro_weight * sds_p)
+                - (elbo_cur - options.elcbo_impro_weight * elbo_sd_cur))
+            ok = d_elcbo < pruning_threshold
+            if not ok.any():
+                checked[cand] = True
+                continue
+            j = int(np.argmin(np.where(ok, d_elcbo, np.inf)))
+            idx = int(cand[j])
+            kmask_np[idx] = False
+            st_cur = {kk: vv[j] for kk, vv in sts_p.items()}
+            w_cur = np.asarray(st_cur["w"])
+            elbo_cur, elbo_sd_cur = float(elbos_p[j]), float(sds_p[j])
+            pruned += 1
 
     vp_new = VariationalPosterior(
         w=jnp.asarray(w_cur * kmask_np / max((w_cur * kmask_np).sum(), 1e-30),
@@ -579,6 +589,20 @@ def _adam_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, ns_ent_k,
         return fminadam(f_vg, th0, tol_fun=tol_fun, maxiter=maxiter,
                         step_min=step_min, step_max=step_max, key=k)
     return jax.vmap(run)(theta0s, keys)
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "ns_fine_k"))
+def _prune_eval_batch(cfg, gp, mu, sigma, lam, w, kmask, idxs, flags,
+                      ns_fine_k, keys):
+    """ELBO stats for a batch of candidate single-component removals."""
+    def one(idx, k):
+        kmask_try = kmask & (jnp.arange(kmask.shape[0]) != idx)
+        w_try = w * kmask_try.astype(w.dtype)
+        w_try = w_try / jnp.maximum(w_try.sum(), 1e-30)
+        th = _theta_from_arrays(flags, mu, sigma, lam, w_try, kmask_try)
+        return eb.elbo_stats(cfg, th, gp, mu, sigma, lam, w_try, kmask_try,
+                             flags, ns_fine_k, 1, k)
+    return jax.vmap(one)(idxs, keys)
 
 
 @partial(jax.jit, static_argnames=("cfg", "flags", "ns_fine_k"))
