@@ -156,24 +156,58 @@ def run_block(blk, seed, max_fun_evals=100):
                     error=f"{type(e).__name__}: {e}")
 
 
+def run_stress_block(seed=7, max_fun_evals=300):
+    """D=10 / K→50 stress config (BASELINE.json: 'D=10, K=50 mixture
+    posterior stress test'): anisotropic MVN, N>250 GP, K up to
+    neff^(2/3)~45, final boost to 50. Reports seconds per VBMC iteration —
+    the BASELINE.md '≥5x faster wall-clock per iteration at D=10' metric."""
+    from vbmc_tpu import vbmc, VBMCOptions, vp_moments
+    D = 10
+    sd = np.linspace(0.5, 2.0, D)
+
+    def mvn10(x):
+        return float(-0.5 * np.sum((x / sd) ** 2)
+                     - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)))
+
+    t0 = time.monotonic()
+    opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals, seed=seed,
+                       min_final_components=50)
+    res = vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
+               pub=np.full(D, 4.0), options=opts)
+    elapsed = time.monotonic() - t0
+    mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
+    err_elbo = abs(res.elbo - 0.0)
+    rmse = float(np.sqrt(np.mean(np.asarray(mean) ** 2)))
+    return dict(elapsed_s=round(elapsed, 1), iters=res.iterations,
+                s_per_iter=round(elapsed / max(res.iterations, 1), 2),
+                func_count=res.func_count,
+                elbo_err=round(float(err_elbo), 3), rmse=round(rmse, 3),
+                ok=bool(err_elbo < 1.0 and rmse < 0.5),
+                K=int(np.sum(np.asarray(res.vp_train.kmask))))
+
+
 def main():
     blocks = _blocks()
     n_blocks = int(os.environ.get("VBMC_BENCH_BLOCKS", len(blocks)))
     blocks = blocks[:n_blocks]
 
-    # Warm-up: a tiny run of EVERY block to trigger jit compilation /
-    # persistent-cache executable loading for all shape variants (D=1..6,
-    # exact + noisy). Mirrors the baseline's exclusion of MATLAB's own
-    # JIT/startup; production deployments amortize the same costs through
-    # the persistent compile cache.
+    # Warm-up: a FULL-CONFIG run of every block (different seed) so every
+    # code path the measured runs touch — warmup end, input warps, K
+    # growth, pruning, the noisy full-update path, final boost — is
+    # compiled (and persisted in the XLA compile cache) before timing
+    # starts. Mirrors the baseline's exclusion of MATLAB's own JIT/startup;
+    # production deployments amortize the same compiles through the
+    # persistent cache. VBMC_BENCH_WARM_EVALS shrinks the warm-up runs.
     t_warm = time.monotonic()
     par_warm = os.environ.get("VBMC_BENCH_PARALLEL", "auto") != "0" and \
         jax.default_backend() != "cpu"
+    warm_evals = int(os.environ.get("VBMC_BENCH_WARM_EVALS", "100"))
     if par_warm:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=len(blocks)) as ex:
             list(ex.map(lambda b: run_block(dict(b), seed=99,
-                                            max_fun_evals=25), blocks))
+                                            max_fun_evals=warm_evals),
+                        blocks))
     else:
         run_block(dict(blocks[1 % len(blocks)]), seed=99, max_fun_evals=30)
     warm_s = time.monotonic() - t_warm
@@ -213,18 +247,30 @@ def main():
     print(f"# elapsed={elapsed:.1f}s warmup={warm_s:.1f}s "
           f"accuracy={n_ok}/{len(results)}", file=sys.stderr)
 
+    detail = {
+        "elapsed_s": round(elapsed, 1),
+        "warmup_s": round(warm_s, 1),
+        "blocks": len(results),
+        "accuracy_passed": n_ok,
+        "baseline_s_scaled": round(baseline_scaled, 1),
+    }
+
+    # Optional D=10/K=50 stress block (BASELINE.md per-iteration target);
+    # run after the headline measurement so it cannot perturb it.
+    if os.environ.get("VBMC_BENCH_STRESS", "1") == "1":
+        print("# >> stress block d10 start", file=sys.stderr, flush=True)
+        try:
+            detail["stress_d10"] = run_stress_block()
+            print(f"# stress_d10: {detail['stress_d10']}", file=sys.stderr)
+        except Exception as e:
+            detail["stress_d10"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "selftest_speedup",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup, 3),
-        "detail": {
-            "elapsed_s": round(elapsed, 1),
-            "warmup_s": round(warm_s, 1),
-            "blocks": len(results),
-            "accuracy_passed": n_ok,
-            "baseline_s_scaled": round(baseline_scaled, 1),
-        },
+        "detail": detail,
     }))
 
 

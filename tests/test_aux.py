@@ -151,3 +151,30 @@ def test_gp_sample_and_fmin(rng):
 
     x_opt, f_opt = gp_fmin(cfg, gp, maximize=True)
     assert np.linalg.norm(x_opt - 0.5) < 0.3
+
+
+def test_cmaes_minimizes_ill_conditioned_quadratic(rng):
+    """CMA-ES with active update (reference runs CMA.active=1,
+    `setupoptions_vbmc.m:176`) on a rotated ill-conditioned quadratic."""
+    import jax
+    import jax.numpy as jnp
+    from vbmc_tpu.samplers.cmaes import cmaes_minimize
+
+    D = 4
+    A = rng.standard_normal((D, D))
+    Q, _ = np.linalg.qr(A)
+    scales = np.array([10.0, 3.0, 1.0, 0.3])
+    H = jnp.asarray(Q @ np.diag(1.0 / scales ** 2) @ Q.T)
+    x_opt = jnp.asarray(rng.uniform(-1, 1, D))
+
+    def f_batch(xs):
+        d = xs - x_opt[None, :]
+        return jnp.einsum("nd,de,ne->n", d, H, d)
+
+    res = cmaes_minimize(jax.random.PRNGKey(0), f_batch,
+                         x0=jnp.zeros(D), sigma0=jnp.ones(D),
+                         lb=jnp.full(D, -20.0), ub=jnp.full(D, 20.0),
+                         max_evals=3000, popsize=16)
+    assert float(res.f_best) < 1e-5, float(res.f_best)
+    np.testing.assert_allclose(np.asarray(res.x_best), np.asarray(x_opt),
+                               atol=2e-2)

@@ -1,0 +1,36 @@
+"""D=10 / K=50 stress config (BASELINE.json stress test; the scale the
+reference's README caps at, `README.md:26`): large GP (N>250), K up to
+neff^(2/3), final boost to 50 components."""
+
+import numpy as np
+import pytest
+
+from vbmc_tpu import vbmc, VBMCOptions, vp_moments
+
+
+@pytest.mark.slow
+def test_d10_k50_stress():
+    D = 10
+    sd = np.linspace(0.5, 2.0, D)
+
+    def mvn10(x):
+        return float(-0.5 * np.sum((x / sd) ** 2)
+                     - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)))
+
+    opts = VBMCOptions(display="off", max_fun_evals=250, seed=3,
+                       min_final_components=50)
+    res = vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
+               pub=np.full(D, 4.0), options=opts)
+
+    mean, cov = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
+    assert abs(res.elbo) < 1.0, res.elbo
+    rmse = float(np.sqrt(np.mean(np.asarray(mean) ** 2)))
+    assert rmse < 0.5, rmse
+    # Marginal variances within a factor ~2 of the target's.
+    var = np.diag(np.asarray(cov))
+    ratio = var / sd ** 2
+    assert np.all(ratio > 0.35) and np.all(ratio < 2.8), ratio
+    # The mixture actually grew toward the stress scale and the final
+    # boost delivered >= 50 components.
+    assert int(np.sum(np.asarray(res.vp.kmask))) >= 50
+    assert res.func_count >= 240

@@ -594,8 +594,19 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 else:
                     optim_state.repeated_obs_streak = 0
 
-        logger.evaluate(x_best)
+        y_new, _ = logger.evaluate(x_best)
         sb.expand(x_best)
+
+        # Acquisition debug record (`activesample_vbmc.m:403-409`).
+        if optim_state is not None and getattr(options, "acq_debug", False):
+            from vbmc_tpu.gp.predict import gp_predict_jit
+            nb1 = bucket_n(1)
+            xq = jnp.asarray(pad_to(np.asarray(x_best, float)[None, :], nb1),
+                             dtype=dtype)
+            fbar_q, vtot_q, _, _ = gp_predict_jit(cfg, gp, xq)
+            optim_state.acqtable.append(
+                (acq_name, float(y_new), float(np.asarray(fbar_q)[0]),
+                 float(np.sqrt(max(float(np.asarray(vtot_q)[0]), 0.0)))))
 
         if i < n_points - 1:
             if full_update and (retrain_gp is not None
@@ -608,7 +619,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 else:
                     fess = 0.0
                 if fess <= fess_thresh:
-                    gp = retrain_gp(logger) if retrain_gp is not None \
+                    gp = retrain_gp(logger, gp) if retrain_gp is not None \
                         else gp_tmp
                     if refit_vp is not None:
                         vp = refit_vp(vp, gp)

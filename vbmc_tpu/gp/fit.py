@@ -55,6 +55,11 @@ class TrainOptions:
     # and the scale of the half-Cauchy prior on the threshold.
     outwarp_delta: Optional[float] = None
     outwarp_thresh_base: Optional[float] = None
+    # Warm chain starts (n, Nhyp): when provided, slice chains start at
+    # these previous posterior samples instead of MAP+jitter — the burn-in
+    # can then be cut to ~thin (in-iteration quick retrains,
+    # `activesample_vbmc.m:59-63` options_update analogue).
+    chain_starts: Optional[np.ndarray] = None
 
 
 def get_hpd(X: np.ndarray, y: np.ndarray, frac: float = 0.8):
@@ -364,12 +369,22 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         else:
             widths = widths_default
         burn = opts.burnin if opts.burnin is not None else opts.thin * ns
-        # Jitter chain starts around the MAP point.
-        jit_scale = 0.1 * widths
-        eps = np.asarray(jax.random.normal(k_jitter, (C, nh)))
-        x0s_chain = np.clip(hyp_map[None, :] + eps * jit_scale[None, :],
-                            lb_np + 1e-10, ub_np - 1e-10)
-        x0s_chain[0] = hyp_map
+        if (opts.chain_starts is not None and opts.chain_starts.size
+                and opts.chain_starts.shape[-1] == nh):
+            # Warm starts from a previous hyperparameter posterior: each
+            # chain starts at a distinct prior sample (MAP kept as chain 0).
+            cs = np.asarray(opts.chain_starts, float).reshape(-1, nh)
+            reps = int(np.ceil(C / cs.shape[0]))
+            x0s_chain = np.tile(cs, (reps, 1))[:C]
+            x0s_chain[0] = hyp_map
+            x0s_chain = np.clip(x0s_chain, lb_np + 1e-10, ub_np - 1e-10)
+        else:
+            # Jitter chain starts around the MAP point.
+            jit_scale = 0.1 * widths
+            eps = np.asarray(jax.random.normal(k_jitter, (C, nh)))
+            x0s_chain = np.clip(hyp_map[None, :] + eps * jit_scale[None, :],
+                                lb_np + 1e-10, ub_np - 1e-10)
+            x0s_chain[0] = hyp_map
 
         samples, logps = _sample_chains(
             cfg, k_sample, jnp.asarray(x0s_chain, dtype=dtype),

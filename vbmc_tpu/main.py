@@ -531,10 +531,24 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                      <= state.last_warmup
                      or rindex_prev > opt.active_sample_full_update_threshold))
 
-            def _retrain_gp(lgr):
+            def _retrain_gp(lgr, gp_prev=None):
                 k_gp_i = jax.random.fold_in(key, 1000 + it)
                 topts_i = _gp_train_options(state, stats, opt, lgr,
                                             uncertainty_level)
+                if gp_prev is not None:
+                    # In-iteration quick retrain (the reference's
+                    # options_update with looser active tolerances,
+                    # `activesample_vbmc.m:59-63`): the posterior moved by
+                    # ONE datapoint, so chains warm-start at the previous
+                    # hyperparameter samples with a short burn-in, the init
+                    # design is skipped, and the MAP polish is shortened.
+                    hyp_prev = np.asarray(gp_prev.hyp)[
+                        np.asarray(gp_prev.hyp_mask, bool)]
+                    topts_i = dataclasses.replace(
+                        topts_i, ninit=0, nopts=1,
+                        lbfgs_iters=min(topts_i.lbfgs_iters, 30),
+                        burnin=topts_i.thin * 3,
+                        chain_starts=hyp_prev)
                 X_i, y_i, s2_i = lgr.training_data(
                     noise_shaping=_noise_shaping if opt.noise_shaping
                     else None, options=opt)
@@ -703,6 +717,16 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                                 func_count=logger.func_count, vp=vp,
                                 warmup=state.warmup,
                                 timer=stats.last.timer))
+
+        # Live iteration plot (`private/vbmc_iterplot.m`).
+        if opt.plot:
+            from vbmc_tpu.plotting import iteration_plot
+            try:
+                iteration_plot(stats, vp, logger)
+            except Exception as e:
+                import warnings
+                warnings.warn(f"iteration plot disabled: {e!r}")
+                opt.plot = False
 
         if display:
             print(f" {it:9d} {logger.func_count:8d} {elbo:14.2f} "

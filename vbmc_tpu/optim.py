@@ -82,8 +82,10 @@ def fminadam(f_value_and_grad: Callable, x0, lb=None, ub=None,
              step_decay: float = 200.0, batch_size: int = 20,
              key=None):
     """Adam with the reference's decayed step schedule and slope-based
-    stopping (cf. `utils/fminadam.m`): runs a fixed-length scan; once the
-    convergence test fires, the state freezes (masked updates).
+    stopping (cf. `utils/fminadam.m`): a `lax.while_loop` that EXITS at
+    convergence (data-dependent trip count — no wasted device steps past
+    the stopping test; under vmap, lanes freeze individually until the
+    last lane converges).
 
     ``f_value_and_grad(x, key) -> (value, grad)`` (stochastic objectives take
     a PRNG key; pass key=None for deterministic objectives).
@@ -108,9 +110,9 @@ def fminadam(f_value_and_grad: Callable, x0, lb=None, ub=None,
                        batch_size).astype(dtype)
     sxx = jnp.sum(xxp * xxp)
 
-    def step(carry, it_key):
-        it, key_i = it_key
-        x, m, v, xtab, ftab, frozen, n_frozen = carry
+    def step(carry):
+        it, x, m, v, xtab, ftab, frozen, n_frozen = carry
+        key_i = jax.random.fold_in(key, it)
         value, grad = f_value_and_grad(x, key_i)
         m_new = beta1 * m + (1 - beta1) * grad
         v_new = beta2 * v + (1 - beta2) * grad * grad
@@ -152,15 +154,18 @@ def fminadam(f_value_and_grad: Callable, x0, lb=None, ub=None,
         x = jnp.where(frozen & ~newly_frozen, x, x_new)
         m = jnp.where(frozen & ~newly_frozen, m, m_new)
         v = jnp.where(frozen & ~newly_frozen, v, v_new)
-        return (x, m, v, xtab, ftab, frozen, n_frozen), None
+        return (it + 1, x, m, v, xtab, ftab, frozen, n_frozen)
+
+    def not_done(carry):
+        it, _, _, _, _, _, frozen, _ = carry
+        return (it < maxiter) & (~frozen)
 
     xtab0 = jnp.zeros((maxiter, dim), dtype=dtype)
     ftab0 = jnp.full((maxiter,), jnp.inf, dtype=dtype)
-    keys = jax.random.split(key, maxiter)
-    init = (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), xtab0, ftab0,
-            jnp.asarray(False), jnp.asarray(maxiter))
-    (x, _, _, xtab, ftab, _, n_frozen), _ = jax.lax.scan(
-        step, init, (jnp.arange(maxiter), keys))
+    init = (jnp.asarray(0), x0, jnp.zeros_like(x0), jnp.zeros_like(x0),
+            xtab0, ftab0, jnp.asarray(False), jnp.asarray(maxiter))
+    (_, x, _, _, xtab, ftab, _, n_frozen) = jax.lax.while_loop(
+        not_done, step, init)
 
     # Average over the last filled batch window.
     last = jnp.minimum(n_frozen, maxiter)

@@ -204,6 +204,12 @@ class VBMCOptions:
     elcbo_weight: float = 0.0
 
     output_fcn: Optional[Callable] = None   # per-iteration callback
+    # Live per-iteration plotting (cf. `vbmc.m` options.Plot /
+    # `private/vbmc_iterplot.m`); writes PNGs when VBMC_PLOT_DIR is set.
+    plot: bool = False
+    # Record per-acquisition debug rows (acq index, y_new, gp mean/sd at the
+    # new point) into optim_state.acqtable (`activesample_vbmc.m:403-409`).
+    acq_debug: bool = False
 
     # --- TPU-specific knobs (not in the reference) ---
     seed: int = 0

@@ -111,3 +111,77 @@ def plot_run(result, target_logpdf=None, bounds=None, n_grid: int = 80):
     ax.legend()
     fig.tight_layout()
     return fig
+
+
+def iteration_plot(stats, vp, logger, save_dir: Optional[str] = None,
+                   show: bool = True):
+    """Live per-iteration diagnostic (cf. `private/vbmc_iterplot.m`,
+    `vbmc_plot2d.m`): ELBO trace with uncertainty band plus, for D <= 2,
+    the current VP density with training points overlaid (original space).
+
+    Called from the main loop when ``options.plot`` is on. In headless
+    environments pass ``save_dir`` (or set VBMC_PLOT_DIR) to write one PNG
+    per iteration instead of drawing interactively."""
+    import os
+    import matplotlib
+    if save_dir is None:
+        save_dir = os.environ.get("VBMC_PLOT_DIR")
+    if save_dir is not None:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    from vbmc_tpu.vp import vp_pdf
+    import jax.numpy as jnp
+
+    it = len(stats)
+    elbo = stats.series("elbo")
+    elbo_sd = stats.series("elbo_sd")
+    iters = np.arange(1, it + 1)
+
+    D = logger.D
+    two_d = D <= 2
+    fig, axes = plt.subplots(1, 2 if two_d else 1,
+                             figsize=(10 if two_d else 5, 4))
+    ax0 = axes[0] if two_d else axes
+    ax0.plot(iters, elbo, "k.-")
+    ax0.fill_between(iters, elbo - elbo_sd, elbo + elbo_sd, color="k",
+                     alpha=0.2)
+    ax0.set_xlabel("iteration")
+    ax0.set_ylabel("ELBO")
+    ax0.set_title(f"iter {it}  K={stats.last.K}  N={stats.last.N}")
+
+    if two_d:
+        ax1 = axes[1]
+        n = logger.Xn
+        from vbmc_tpu.transforms import inverse
+        X_orig = np.asarray(inverse(logger.trinfo,
+                                    jnp.asarray(logger.X[:n])))
+        if D == 2:
+            pad = 0.5 * (X_orig.max(0) - X_orig.min(0) + 1e-6)
+            lo, hi = X_orig.min(0) - pad, X_orig.max(0) + pad
+            g1 = np.linspace(lo[0], hi[0], 60)
+            g2 = np.linspace(lo[1], hi[1], 60)
+            G1, G2 = np.meshgrid(g1, g2)
+            pts = np.stack([G1.ravel(), G2.ravel()], axis=1)
+            pdf = np.asarray(vp_pdf(vp, jnp.asarray(pts),
+                                    orig_flag=True)).reshape(G1.shape)
+            ax1.contour(G1, G2, pdf, levels=8, cmap="viridis")
+            ax1.plot(X_orig[:, 0], X_orig[:, 1], "k.", ms=3, alpha=0.5)
+            ax1.set_xlabel("x1"); ax1.set_ylabel("x2")
+        else:
+            lo = X_orig.min() - 1.0
+            hi = X_orig.max() + 1.0
+            g = np.linspace(lo, hi, 200)[:, None]
+            pdf = np.asarray(vp_pdf(vp, jnp.asarray(g), orig_flag=True))
+            ax1.plot(g[:, 0], pdf, "b-")
+            ax1.plot(X_orig[:, 0], np.zeros(n), "k|", ms=12)
+            ax1.set_xlabel("x1"); ax1.set_ylabel("vp pdf")
+        ax1.set_title("variational posterior")
+    fig.tight_layout()
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        fig.savefig(os.path.join(save_dir, f"iter_{it:03d}.png"), dpi=100)
+        plt.close(fig)
+    elif show:
+        plt.show(block=False)
+        plt.pause(0.01)
+    return fig

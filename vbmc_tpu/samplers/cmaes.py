@@ -47,6 +47,20 @@ def cmaes_minimize(key, f_batch: Callable, x0: jnp.ndarray,
     damps = 1 + 2 * jnp.maximum(0.0, jnp.sqrt((mueff - 1) / (D + 1)) - 1) + cs
     chiN = math.sqrt(D) * (1 - 1 / (4 * D) + 1 / (21 * D ** 2))
 
+    # Active CMA (Jastrebski & Hansen 2006; the reference runs
+    # `CMA.active=1`, `setupoptions_vbmc.m:176`): the worst-mu samples get
+    # negative recombination weights, scaled to keep C positive definite.
+    w_neg_raw = (jnp.log(mu + 0.5)
+                 - jnp.log(jnp.arange(mu + 1, 2 * mu + 1, dtype=dtype)))
+    w_neg_raw = w_neg_raw - jnp.max(w_neg_raw)          # all <= 0
+    mueff_neg = (jnp.sum(w_neg_raw) ** 2
+                 / jnp.maximum(jnp.sum(w_neg_raw ** 2), 1e-12))
+    a_mu = 1.0 + c1 / jnp.maximum(cmu, 1e-12)
+    a_mueff = 1.0 + 2.0 * mueff_neg / (mueff + 2.0)
+    a_posdef = (1.0 - c1 - cmu) / (D * jnp.maximum(cmu, 1e-12))
+    neg_scale = jnp.minimum(a_mu, jnp.minimum(a_mueff, a_posdef))
+    w_neg = (w_neg_raw / jnp.maximum(-jnp.sum(w_neg_raw), 1e-12)) * neg_scale
+
     n_gen = max(int(math.ceil(max_evals / lam)), 1)
 
     # Normalize coordinates by sigma0 so C starts isotropic.
@@ -97,7 +111,15 @@ def cmaes_minimize(key, f_batch: Callable, x0: jnp.ndarray,
             hsig * jnp.sqrt(cc * (2 - cc) * mueff) * y_w
         rank1 = jnp.outer(pc, pc)
         rank_mu = jnp.einsum("i,ij,ik->jk", w, Y[top], Y[top])
-        C_new = ((1 - c1 - cmu) * carry.C + c1 * rank1 + cmu * rank_mu)
+        # Active update: worst-mu directions, Mahalanobis-normalized so the
+        # negative update cannot break positive definiteness.
+        bot = order[lam - mu:]
+        Y_bot = Y[bot]
+        maha2 = jnp.sum(((Y_bot @ B) / Dd[None, :]) ** 2, axis=1)
+        Y_hat = Y_bot * jnp.sqrt(D / jnp.maximum(maha2, 1e-12))[:, None]
+        rank_neg = jnp.einsum("i,ij,ik->jk", -w_neg, Y_hat, Y_hat)
+        C_new = ((1 - c1 - cmu) * carry.C + c1 * rank1
+                 + cmu * (rank_mu - rank_neg))
         C_new = 0.5 * (C_new + C_new.T)
 
         f0 = fs[order[0]]

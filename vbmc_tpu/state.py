@@ -92,6 +92,10 @@ class OptimState:
     # predicted marginal GP-train cost of one more training point
     # (`activesample_vbmc.m:185-204`).
     t_algoperfuneval: float = math.nan
+    # Acquisition debug rows (acq name, y_new, gp fmu, gp sd at x_new),
+    # populated when options.acq_debug is set
+    # (`activesample_vbmc.m:403-409` acqtable).
+    acqtable: List[tuple] = dataclasses.field(default_factory=list)
 
 
 # ----------------------------------------------------------------------
