@@ -67,16 +67,21 @@ class SearchBounds:
             ub=np.minimum(pub + prange * mult, ub_hard),
             lb_hard=lb_hard, ub_hard=ub_hard)
 
-    def expand(self, xnew: np.ndarray):
+    def expand(self, xnew: np.ndarray) -> bool:
         """Expand the search box when new points land near its edges
-        (`activesample_vbmc.m:492-508`)."""
+        (`activesample_vbmc.m:492-508`). Returns True when the box moved
+        (callers re-upload the device copy only then)."""
         delta = 0.05 * (self.ub - self.lb)
         near_lo = np.abs(xnew - self.lb) < delta
+        near_hi = np.abs(xnew - self.ub) < delta
+        if not (near_lo.any() or near_hi.any()):
+            return False
+        old_lb, old_ub = self.lb.copy(), self.ub.copy()
         self.lb[near_lo] = np.maximum(self.lb_hard[near_lo],
                                       (self.lb - delta)[near_lo])
-        near_hi = np.abs(xnew - self.ub) < delta
         self.ub[near_hi] = np.minimum(self.ub_hard[near_hi],
                                       (self.ub + delta)[near_hi])
+        return bool(np.any(self.lb != old_lb) or np.any(self.ub != old_ub))
 
 
 def initial_design(key, logger: FunctionLogger, n_evals: int,
@@ -350,23 +355,28 @@ def gp_reupdate(cfg: GPConfig, gp: GP, logger: FunctionLogger) -> GP:
     hyperparameter samples (cf. `misc/gpreupdate.m`). The batched
     re-factorization replaces the reference's rank-1 update — one fused
     (S, N, N) Cholesky batch on the MXU instead of sequential updates."""
+    from vbmc_tpu.utils.hostcache import device_put_cached
     X, y, s2 = logger.training_data()
     n = X.shape[0]
     nb = bucket_n(n)
     dtype = gp.X.dtype
-    Xp = jnp.asarray(pad_to(X, nb), dtype=dtype)
-    yp = jnp.asarray(pad_to(y, nb), dtype=dtype)
-    s2p = (jnp.zeros(nb, dtype=dtype) if s2 is None
-           else jnp.asarray(pad_to(s2, nb), dtype=dtype))
-    mask = jnp.asarray(np.arange(nb) < n)
+    Xp = device_put_cached(pad_to(X, nb), dtype=dtype)
+    yp = device_put_cached(pad_to(y, nb), dtype=dtype)
+    s2p = (device_put_cached(np.zeros(nb), dtype=dtype) if s2 is None
+           else device_put_cached(pad_to(s2, nb), dtype=dtype))
+    mask = device_put_cached(np.arange(nb) < n)
+    gp_new = _build_gp_jit(cfg, Xp, yp, s2p, mask, gp.hyp, gp.hyp_mask)
+    # Restore passthrough references (mirror preservation; see train_gp).
+    gp_new = gp_new._replace(X=Xp, y=yp, s2=s2p, mask=mask, hyp=gp.hyp,
+                             hyp_mask=gp.hyp_mask)
     from vbmc_tpu.parallel.context import shard_gp
-    return shard_gp(_build_gp_jit(cfg, Xp, yp, s2p, mask, gp.hyp,
-                                  gp.hyp_mask))
+    return shard_gp(gp_new)
 
 
 def _geomean_length_scale(cfg: GPConfig, gp: GP) -> np.ndarray:
-    m = np.asarray(gp.hyp_mask, float)
-    le = np.asarray(gp.hyp)[:, :cfg.D]
+    from vbmc_tpu.utils.hostcache import to_np
+    m = np.asarray(to_np(gp.hyp_mask), float)
+    le = np.asarray(to_np(gp.hyp))[:, :cfg.D]
     return np.exp((le * m[:, None]).sum(0) / max(m.sum(), 1.0))
 
 
@@ -404,8 +414,22 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
     lb_eps, ub_eps = _hard_bound_eps(logger, options)
     insigma_cache = None   # vp moments reused across points until vp changes
 
+    # Hoisted device constants: per-point uploads are one scalar (ymax) and,
+    # only when the search box actually expands, its two bound vectors.
+    tol_var_dev = jnp.asarray(tol_gp_var, dtype=dtype)
+    lb_eps_dev = jnp.asarray(lb_eps, dtype=dtype)
+    ub_eps_dev = jnp.asarray(ub_eps, dtype=dtype)
+    true_dev = jnp.asarray(True)
+    gls_dev = jnp.asarray(_geomean_length_scale(cfg, gp), dtype=dtype)
+    sb_lb_dev = jnp.asarray(sb.lb, dtype=dtype)
+    sb_ub_dev = jnp.asarray(sb.ub, dtype=dtype)
+    # All per-point keys from ONE split (each proposal program splits its
+    # own key further on-device).
+    keys_pts = jax.random.split(key, 3 * n_points + 1)
+    key = keys_pts[0]
+
     for i in range(n_points):
-        key, k_search, k_cma, k_is = jax.random.split(key, 4)
+        k_search, k_cma, k_is = keys_pts[3 * i + 1: 3 * i + 4]
 
         # Default search composition + CMA-ES refinement => the whole
         # point proposal runs as ONE device program (fused fast paths).
@@ -442,14 +466,13 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
         smooth = delta_sm is not None
         state = AcqState(
             ymax=jnp.asarray(logger.ymax, dtype=dtype),
-            tol_var=jnp.asarray(tol_gp_var, dtype=dtype),
-            lb_eps_orig=jnp.asarray(lb_eps, dtype=dtype),
-            ub_eps_orig=jnp.asarray(ub_eps, dtype=dtype),
-            gp_length_scale=jnp.asarray(_geomean_length_scale(cfg, gp),
-                                        dtype=dtype),
+            tol_var=tol_var_dev,
+            lb_eps_orig=lb_eps_dev,
+            ub_eps_orig=ub_eps_dev,
+            gp_length_scale=gls_dev,
             var_log_joint=(var_log_joint if var_log_joint is not None
                            else jnp.ones(gp.s_max, dtype=dtype)),
-            regularize=jnp.asarray(True),
+            regularize=true_dev,
             delta=(jnp.asarray(delta_sm, dtype=dtype) if smooth
                    else jnp.zeros(D, dtype=dtype)))
 
@@ -469,14 +492,12 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             if fused:
                 x_fused, _ = _propose_point(
                     cfg, acq_name, k_search, vp, gp, state,
-                    jnp.asarray(sb.lb, dtype=dtype),
-                    jnp.asarray(sb.ub, dtype=dtype),
+                    sb_lb_dev, sb_ub_dev,
                     smooth=smooth, refine=True, **common)
             else:
                 x_fused, _ = _propose_point_is(
                     cfg, acq_name, k_search, vp, gp, state,
-                    jnp.asarray(sb.lb, dtype=dtype),
-                    jnp.asarray(sb.ub, dtype=dtype),
+                    sb_lb_dev, sb_ub_dev,
                     n_is_vp=int(
                         options.active_importance_sampling_vp_samples),
                     n_is_box=int(
@@ -595,7 +616,9 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                     optim_state.repeated_obs_streak = 0
 
         y_new, _ = logger.evaluate(x_best)
-        sb.expand(x_best)
+        if sb.expand(x_best):
+            sb_lb_dev = jnp.asarray(sb.lb, dtype=dtype)
+            sb_ub_dev = jnp.asarray(sb.ub, dtype=dtype)
 
         # Acquisition debug record (`activesample_vbmc.m:403-409`).
         if optim_state is not None and getattr(options, "acq_debug", False):
@@ -621,6 +644,11 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 if fess <= fess_thresh:
                     gp = retrain_gp(logger, gp) if retrain_gp is not None \
                         else gp_tmp
+                    if retrain_gp is not None:
+                        # Hyperparameters changed: refresh the hoisted
+                        # length-scale constant.
+                        gls_dev = jnp.asarray(
+                            _geomean_length_scale(cfg, gp), dtype=dtype)
                     if refit_vp is not None:
                         vp = refit_vp(vp, gp)
                         insigma_cache = None

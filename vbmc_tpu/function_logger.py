@@ -13,9 +13,9 @@ import time
 from typing import Callable, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
-from vbmc_tpu.transforms import Trinfo, inverse, log_abs_det_jacobian
+from vbmc_tpu.transforms import (Trinfo, inverse_np, direct_np,
+                                 log_abs_det_jacobian_np)
 
 
 class FunctionLogger:
@@ -65,8 +65,9 @@ class FunctionLogger:
         self.fun_eval_time = ex(self.fun_eval_time)
 
     def _logjac(self, x: np.ndarray) -> float:
-        return float(log_abs_det_jacobian(self.trinfo,
-                                          jnp.asarray(x)[None, :])[0])
+        # Host math: one evaluation's bookkeeping must not pay device
+        # round-trips (~30 ms each through the remote-TPU tunnel).
+        return float(log_abs_det_jacobian_np(self.trinfo, x[None, :])[0])
 
     # ------------------------------------------------------------------
     def evaluate(self, x: np.ndarray):
@@ -75,7 +76,7 @@ class FunctionLogger:
         Returns (y_transformed, idx).
         """
         x = np.asarray(x, float).ravel()
-        x_orig = np.asarray(inverse(self.trinfo, jnp.asarray(x)[None, :]))[0]
+        x_orig = inverse_np(self.trinfo, x[None, :])[0]
         t0 = time.monotonic()
         if self.uncertainty_level == 2:
             out = self.fun(x_orig)
@@ -107,7 +108,7 @@ class FunctionLogger:
     def add(self, x: np.ndarray, y_orig: float, fsd: Optional[float] = None):
         """Record a pre-evaluated point (cache injection, warm starts)."""
         x = np.asarray(x, float).ravel()
-        x_orig = np.asarray(inverse(self.trinfo, jnp.asarray(x)[None, :]))[0]
+        x_orig = inverse_np(self.trinfo, x[None, :])[0]
         if self.noise_flag and fsd is None:
             fsd = 1.0
         self.cache_count += 1
@@ -158,10 +159,9 @@ class FunctionLogger:
         n = self.Xn
         if n == 0:
             return
-        from vbmc_tpu.transforms import direct
         Xo = self.X_orig[:n]
-        U = np.asarray(direct(trinfo_new, jnp.asarray(Xo)))
-        lj = np.asarray(log_abs_det_jacobian(trinfo_new, jnp.asarray(U)))
+        U = direct_np(trinfo_new, Xo)
+        lj = log_abs_det_jacobian_np(trinfo_new, U)
         self.X[:n] = U
         self.y[:n] = self.y_orig[:n] + lj / self.T
         active = self.X_flag[:n]

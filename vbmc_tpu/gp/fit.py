@@ -204,7 +204,8 @@ def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     x0[nanmask] = 0.5 * (plb[nanmask] + pub[nanmask])
 
     dt = jnp.zeros(0).dtype
-    arr = lambda v: jnp.asarray(v, dtype=dt)
+    from vbmc_tpu.utils.hostcache import device_put_cached
+    arr = lambda v: device_put_cached(v, dtype=dt)
     return HypPrior(mu=arr(mu), sigma=arr(sigma), df=arr(df),
                     lb=arr(lb), ub=arr(ub), plb=arr(plb), pub=arr(pub)), x0
 
@@ -265,38 +266,50 @@ def _build_gp_jit(cfg, X, y, s2, mask, hyps, hyp_mask):
 
 def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
              s2: Optional[np.ndarray], plb_tr, pub_tr, opts: TrainOptions,
-             hyp0: Optional[np.ndarray] = None):
+             hyp0: Optional[np.ndarray] = None,
+             host_seed: Optional[int] = None):
     """Fit the GP surrogate; returns (GP, info dict).
 
     X, y, s2: host arrays of the *real* (unpadded) training set.
     hyp0: optional (n0, Nhyp) warm-start hyperparameter vectors.
+    host_seed: seed for the host-side draws (design points, chain-start
+    jitter); when None it is derived from ``key`` (one device pull).
     """
+    from vbmc_tpu.utils.hostcache import device_put_cached, to_np, register
     dtype = jnp.zeros(0).dtype
     n = X.shape[0]
     nb = bucket_n(n)
-    Xp = jnp.asarray(pad_to(np.asarray(X, float), nb), dtype=dtype)
-    yp = jnp.asarray(pad_to(np.asarray(y, float).ravel(), nb), dtype=dtype)
-    s2p = (jnp.zeros(nb, dtype=dtype) if s2 is None
-           else jnp.asarray(pad_to(np.asarray(s2, float).ravel(), nb),
-                            dtype=dtype))
-    mask = jnp.asarray(np.arange(nb) < n)
+    Xp_np = pad_to(np.asarray(X, float), nb)
+    yp_np = pad_to(np.asarray(y, float).ravel(), nb)
+    s2p_np = (np.zeros(nb) if s2 is None
+              else pad_to(np.asarray(s2, float).ravel(), nb))
+    mask_np = np.arange(nb) < n
+    Xp = device_put_cached(Xp_np, dtype=dtype)
+    yp = device_put_cached(yp_np, dtype=dtype)
+    s2p = device_put_cached(s2p_np, dtype=dtype)
+    mask = device_put_cached(mask_np)
 
     prior, x0_default = assemble_hyp_prior(cfg, np.asarray(X), np.asarray(y),
                                            np.asarray(plb_tr),
                                            np.asarray(pub_tr), opts)
     nh = cfg.nhyp
+    if host_seed is None:
+        host_seed = int(np.asarray(
+            jax.random.randint(jax.random.fold_in(key, 91), (), 0,
+                               2 ** 31 - 1)))
+    hrng = np.random.default_rng(host_seed)
 
     # --- starting points -------------------------------------------------
     starts = [np.asarray(x0_default)[None, :]]
     if hyp0 is not None and hyp0.size and hyp0.shape[-1] == nh:
         starts.append(np.asarray(hyp0, float).reshape(-1, nh))
     starts = np.unique(np.concatenate(starts, axis=0), axis=0)
-    lb_np = np.asarray(prior.lb)
-    ub_np = np.asarray(prior.ub)
-    plb_np = np.where(np.isfinite(np.asarray(prior.plb)), np.asarray(prior.plb),
-                      lb_np)
-    pub_np = np.where(np.isfinite(np.asarray(prior.pub)), np.asarray(prior.pub),
-                      ub_np)
+    lb_np = np.asarray(to_np(prior.lb), float)
+    ub_np = np.asarray(to_np(prior.ub), float)
+    plb_np = np.where(np.isfinite(np.asarray(to_np(prior.plb), float)),
+                      np.asarray(to_np(prior.plb), float), lb_np)
+    pub_np = np.where(np.isfinite(np.asarray(to_np(prior.pub), float)),
+                      np.asarray(to_np(prior.pub), float), ub_np)
     starts = np.clip(starts, lb_np + 1e-12, ub_np - 1e-12)
 
     key, k_design, k_sample, k_jitter = jax.random.split(key, 4)
@@ -310,7 +323,7 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         # single host pull collects the results.
         CHUNK = 256
         n_design = CHUNK * max(1, -(-int(opts.ninit) // CHUNK))
-        u = np.asarray(jax.random.uniform(k_design, (n_design, nh)))
+        u = hrng.random((n_design, nh))
         design = plb_np + u * (pub_np - plb_np)
         # Warm starts overwrite the head of the design (fixed total size so
         # the vmapped evaluation compiles once per bucket).
@@ -344,9 +357,9 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     if opts.nopts > 0:
         reps = int(np.ceil(opts.nopts / x0s.shape[0]))
         x0s_j = jnp.asarray(np.tile(x0s, (reps, 1))[:opts.nopts], dtype=dtype)
-        hyp_opt, f_opt = _map_optimize(cfg, x0s_j, prior, Xp, yp, s2p, mask,
-                                       opts.lbfgs_iters)
-        f_opt = np.asarray(f_opt)
+        hyp_opt, f_opt = jax.device_get(
+            _map_optimize(cfg, x0s_j, prior, Xp, yp, s2p, mask,
+                          opts.lbfgs_iters))
         best = int(np.nanargmin(np.where(np.isfinite(f_opt), f_opt, np.inf)))
         hyp_map = np.asarray(hyp_opt)[best]
     else:
@@ -381,7 +394,7 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         else:
             # Jitter chain starts around the MAP point.
             jit_scale = 0.1 * widths
-            eps = np.asarray(jax.random.normal(k_jitter, (C, nh)))
+            eps = hrng.standard_normal((C, nh))
             x0s_chain = np.clip(hyp_map[None, :] + eps * jit_scale[None, :],
                                 lb_np + 1e-10, ub_np - 1e-10)
             x0s_chain[0] = hyp_map
@@ -409,8 +422,15 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         hyp_mask = np.arange(sb) < 1
         hyp_full = hyp_map[None, :]
 
-    gp = _build_gp_jit(cfg, Xp, yp, s2p, mask,
-                       jnp.asarray(buf, dtype=dtype), jnp.asarray(hyp_mask))
+    hyp_dev = device_put_cached(buf, dtype=dtype)
+    hyp_mask_dev = device_put_cached(hyp_mask)
+    gp = _build_gp_jit(cfg, Xp, yp, s2p, mask, hyp_dev, hyp_mask_dev)
+    # The jit re-emits the passthrough arrays as fresh device buffers;
+    # restore the input references so their host mirrors stay attached
+    # (orchestration re-reads X/y/mask/hyp every iteration — each read
+    # would otherwise be a ~30 ms blocking pull through the TPU tunnel).
+    gp = gp._replace(X=Xp, y=yp, s2=s2p, mask=mask, hyp=hyp_dev,
+                     hyp_mask=hyp_mask_dev)
     # Multi-device: shard the hyperparameter-sample axis over the mesh so
     # every downstream ensemble reduction runs as a cross-device psum.
     from vbmc_tpu.parallel.context import shard_gp

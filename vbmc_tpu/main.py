@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from vbmc_tpu.options import VBMCOptions, ResolvedOptions
-from vbmc_tpu.transforms import create_trinfo, direct, LOGIT, PROBIT, STUDENT4
+from vbmc_tpu.transforms import (create_trinfo, direct, direct_np,
+                                 LOGIT, PROBIT, STUDENT4)
+from vbmc_tpu.utils.hostcache import to_np
 from vbmc_tpu.function_logger import FunctionLogger
 from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
                                 MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
@@ -208,15 +210,14 @@ def _estimate_sn2hpd(cfg: GPConfig, gp, logger) -> float:
     """GP noise around the top HPD region (`gptrain_vbmc.m:347-377`)."""
     X, y, _ = logger.training_data()
     n_hpd = max(int(math.ceil(0.2 * X.shape[0])), 1)
-    order = np.argsort(y)[::-1][:n_hpd]
-    sn2 = np.asarray(gp.sn2)        # (S, N_max)
-    m = np.asarray(gp.hyp_mask, float)
+    sn2 = np.asarray(jax.device_get(gp.sn2))   # (S, N_max): the one pull here
+    m = np.asarray(to_np(gp.hyp_mask), float)
     sn2_mean = (sn2 * m[:, None]).sum(0) / max(m.sum(), 1.0)
-    sel = np.where(np.asarray(gp.mask, bool))[0]
+    sel = np.where(np.asarray(to_np(gp.mask), bool))[0]
     if sel.size == 0:
         return float("inf")
     vals = sn2_mean[sel]
-    order_idx = np.argsort(np.asarray(gp.y)[sel])[::-1][:n_hpd]
+    order_idx = np.argsort(np.asarray(to_np(gp.y))[sel])[::-1][:n_hpd]
     return float(np.median(vals[order_idx]))
 
 
@@ -238,6 +239,7 @@ def _predict_padded(cfg, gp, X: np.ndarray):
     nb = bucket_n(n)
     Xp = jnp.asarray(pad_to(X, nb), dtype=gp.X.dtype)
     fbar, vtot, _, _ = gp_predict_jit(cfg, gp, Xp)
+    fbar, vtot = jax.device_get((fbar, vtot))   # one blocking pull for both
     return np.asarray(fbar)[:n], np.asarray(vtot)[:n]
 
 
@@ -311,10 +313,10 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     # Transform setup.
     trinfo = create_trinfo(lb, ub, plb, pub,
                            bounded_type=_TRANSFORM_IDS[opt.bounded_transform])
-    plb_t = np.asarray(direct(trinfo, jnp.asarray(plb)[None, :]))[0]
-    pub_t = np.asarray(direct(trinfo, jnp.asarray(pub)[None, :]))[0]
-    lb_t = np.asarray(direct(trinfo, jnp.asarray(lb)[None, :]))[0]
-    ub_t = np.asarray(direct(trinfo, jnp.asarray(ub)[None, :]))[0]
+    plb_t = direct_np(trinfo, plb[None, :])[0]
+    pub_t = direct_np(trinfo, pub[None, :])[0]
+    lb_t = direct_np(trinfo, lb[None, :])[0]
+    ub_t = direct_np(trinfo, ub[None, :])[0]
 
     # GP smoothing bandwidth (`setupvars_vbmc.m:247`: delta in units of the
     # plausible box). Applied on the acquisition path (acqwrapper parity);
@@ -343,7 +345,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     # Initial variational posterior: K_warmup comps at x0 (+tiny jitter).
     rng = np.random.default_rng(opt.seed)
     K = opt.k_warmup
-    u0 = np.asarray(direct(trinfo, jnp.asarray(x0[:1])))[0]
+    u0 = direct_np(trinfo, x0[:1])[0]
     mu_init = np.tile(u0, (K, 1)) + 1e-6 * rng.standard_normal((K, D))
     vp = make_vp(trinfo, mu_init, sigma=1e-3, lam=np.ones(D),
                  k_max=bucket_k(K))
@@ -495,7 +497,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     notes.append("undo")
                 else:
                     vp = res_w.vp
-                    state.vp_K = int(np.sum(np.asarray(vp.kmask)))
+                    state.vp_K = int(np.sum(to_np(vp.kmask)))
                     hyp_warm = gpinfo_w["hyp_full"]
                     state.recompute_var_post = True
 
@@ -507,15 +509,14 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         elif gp is None:
             cache_t, _ = initial_design(
                 k_as, logger, opt.fun_eval_start, plb_t, pub_t,
-                x0_cache=np.asarray(direct(trinfo, jnp.asarray(x0))),
+                x0_cache=direct_np(trinfo, x0),
                 fvals_cache=np.asarray(opt.fvals, float)
                 if opt.fvals is not None else None)
             if cache_t is not None and len(cache_t):
                 # Keep the leftover cache in ORIGINAL space so it survives
                 # input warps (`activesample_vbmc.m:545-558` search cache).
-                from vbmc_tpu.transforms import inverse as _inv
-                search_cache = np.asarray(_inv(logger.trinfo,
-                                               jnp.asarray(cache_t)))
+                from vbmc_tpu.transforms import inverse_np as _inv_np
+                search_cache = _inv_np(logger.trinfo, cache_t)
         else:
             if hedge is not None:
                 acq_name = hedge.choose(rng)
@@ -542,8 +543,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     # ONE datapoint, so chains warm-start at the previous
                     # hyperparameter samples with a short burn-in, the init
                     # design is skipped, and the MAP polish is shortened.
-                    hyp_prev = np.asarray(gp_prev.hyp)[
-                        np.asarray(gp_prev.hyp_mask, bool)]
+                    hyp_prev = np.asarray(to_np(gp_prev.hyp))[
+                        np.asarray(to_np(gp_prev.hyp_mask), bool)]
                     topts_i = dataclasses.replace(
                         topts_i, ninit=0, nopts=1,
                         lbfgs_iters=min(topts_i.lbfgs_iters, 30),
@@ -553,12 +554,13 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     noise_shaping=_noise_shaping if opt.noise_shaping
                     else None, options=opt)
                 gp_i, _ = train_gp(k_gp_i, cfg, X_i, y_i, s2_i, plb_t, pub_t,
-                                   topts_i, hyp0=hyp_warm)
+                                   topts_i, hyp0=hyp_warm,
+                                   host_seed=int(rng.integers(2 ** 31 - 1)))
                 return gp_i
 
             def _refit_vp(vp_i, gp_i):
                 k_vp_i = jax.random.fold_in(key, 2000 + it)
-                K_i = int(np.sum(np.asarray(vp_i.kmask)))
+                K_i = int(np.sum(to_np(vp_i.kmask)))
                 n_fast_i = int(math.ceil(
                     opt.ns_elbo_incr * opt.evalopt("ns_elbo", K_i)))
                 res_i = vpoptimize(
@@ -567,7 +569,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     n_fast_opts=n_fast_i, n_slow_opts=1,
                     n_ent=opt.evalopt("ns_ent_active", K_i),
                     n_ent_fine=opt.evalopt("ns_ent_fine_active", K_i),
-                    prune=False)
+                    prune=False,
+                    host_seed=int(rng.integers(2 ** 31 - 1)))
                 return res_i.vp
 
             gp, vp = active_sample(
@@ -578,10 +581,9 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 refit_vp=_refit_vp if opt.active_sample_vp_update else None,
                 fess_thresh=opt.active_sample_fess_thresh,
                 optim_state=state,
-                search_cache=(np.asarray(direct(
-                    logger.trinfo, jnp.asarray(search_cache)))
-                    if search_cache is not None and len(search_cache)
-                    else None))
+                search_cache=(direct_np(logger.trinfo, search_cache)
+                              if search_cache is not None
+                              and len(search_cache) else None))
         timers["active_sampling"] += time.monotonic() - t
 
         # ------------------------------------------------------ GP training
@@ -596,7 +598,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         # (`gptrain_vbmc.m:36-50`).
         hyp0 = _collect_hyp_starts(stats, hyp_warm, topts.ninit)
         gp, gpinfo = train_gp(k_gp, cfg, X_tr, y_tr, s2_tr, plb_t, pub_t,
-                              topts, hyp0=hyp0)
+                              topts, hyp0=hyp0,
+                              host_seed=int(rng.integers(2 ** 31 - 1)))
         hyp_warm = gpinfo["hyp_full"]
         _update_hyp_runcov(state, gpinfo["hyp_full"], opt)
         state.sn2hpd = _estimate_sn2hpd(cfg, gp, logger)
@@ -616,9 +619,10 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         res = vpoptimize(k_vp, cfg, vp, gp, K_new, opt,
                          warmup=state.warmup,
                          entropy_switch=state.entropy_switch,
-                         n_fast_opts=n_fast, n_slow_opts=n_slow)
+                         n_fast_opts=n_fast, n_slow_opts=n_slow,
+                         host_seed=int(rng.integers(2 ** 31 - 1)))
         vp = res.vp
-        state.vp_K = int(np.sum(np.asarray(vp.kmask)))
+        state.vp_K = int(np.sum(to_np(vp.kmask)))
         elbo, elbo_sd = res.elbo, res.elbo_sd
         if opt.temperature > 1:
             from vbmc_tpu.vp import vp_train2real
@@ -637,15 +641,15 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         sKL_true = None
         if opt.true_mean is not None and opt.true_cov is not None:
             key, k_mom = jax.random.split(key)
-            mu_o, cov_o = vp_moments(vp, orig_flag=True, n_samples=10 ** 5,
-                                     key=k_mom)
+            mu_o, cov_o = jax.device_get(
+                vp_moments(vp, orig_flag=True, n_samples=10 ** 5, key=k_mom))
             kl1, kl2 = mvn_kl(np.asarray(mu_o), np.asarray(cov_o),
                               np.asarray(opt.true_mean, float),
                               np.asarray(opt.true_cov, float))
             sKL_true = 0.5 * float(kl1 + kl2)
 
         # Running moments (vbmc.m:779-793).
-        mu_t, cov_t = vp_moments(vp, orig_flag=False)
+        mu_t, cov_t = jax.device_get(vp_moments(vp, orig_flag=False))
         mu_t, cov_t = np.asarray(mu_t), np.asarray(cov_t)
         if state.run_mean is None:
             state.run_mean, state.run_cov = mu_t, cov_t
@@ -663,7 +667,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             K=state.vp_K, N=logger.n_train, neff=logger.neff,
             func_count=logger.func_count, warmup=state.warmup,
             pruned=res.pruned, varss=res.varss, lcbmax=lcbmax, vp=vp,
-            gp_hyp=np.asarray(gp.hyp)[np.asarray(gp.hyp_mask, bool)],
+            gp_hyp=np.asarray(to_np(gp.hyp))[
+                np.asarray(to_np(gp.hyp_mask), bool)],
             gp_hyp_full=gpinfo["hyp_full"], gp_ns=gpinfo["ns_samples"],
             timer={k: round(timers[k] - timers_prev.get(k, 0.0), 4)
                    for k in ("active_sampling", "gp_train",
@@ -744,7 +749,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
     # Final boost to MinFinalComponents (cf. `misc/finalboost_vbmc.m`).
     vp_train = vp_best
-    K_best = int(np.sum(np.asarray(vp_best.kmask)))
+    K_best = int(np.sum(to_np(vp_best.kmask)))
     K_boost = max(opt.min_final_components, K_best)
     if K_best < K_boost:
         key, k_boost = jax.random.split(key)

@@ -88,18 +88,19 @@ def shard_gp(gp, mesh: Optional[Mesh] = None):
     n_dev = mesh.devices.size
     if gp.hyp.shape[0] % n_dev != 0:
         return gp
+    from vbmc_tpu.utils.hostcache import reregister
     row = NamedSharding(mesh, P(AXIS))
     rep = NamedSharding(mesh, P())
     return gp._replace(
-        hyp=jax.device_put(gp.hyp, row),
-        hyp_mask=jax.device_put(gp.hyp_mask, row),
+        hyp=reregister(jax.device_put(gp.hyp, row), gp.hyp),
+        hyp_mask=reregister(jax.device_put(gp.hyp_mask, row), gp.hyp_mask),
         alpha=jax.device_put(gp.alpha, row),
         L=jax.device_put(gp.L, row),
         Binv=jax.device_put(gp.Binv, row),
         sn2=jax.device_put(gp.sn2, row),
-        X=jax.device_put(gp.X, rep),
-        y=jax.device_put(gp.y, rep),
-        mask=jax.device_put(gp.mask, rep),
+        X=reregister(jax.device_put(gp.X, rep), gp.X),
+        y=reregister(jax.device_put(gp.y, rep), gp.y),
+        mask=reregister(jax.device_put(gp.mask, rep), gp.mask),
     )
 
 

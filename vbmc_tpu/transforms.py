@@ -106,25 +106,27 @@ def create_trinfo(lb, ub, plb=None, pub=None, bounded_type: int = LOGIT,
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
 
+    from vbmc_tpu.utils.hostcache import device_put_cached as _dpc
     base = Trinfo(
-        type=jnp.asarray(types),
-        lb_orig=jnp.asarray(lb, dtype=dtype),
-        ub_orig=jnp.asarray(ub, dtype=dtype),
-        mu=jnp.zeros(D, dtype=dtype),
-        delta=jnp.ones(D, dtype=dtype),
+        type=_dpc(types),
+        lb_orig=_dpc(lb, dtype=dtype),
+        ub_orig=_dpc(ub, dtype=dtype),
+        mu=_dpc(np.zeros(D), dtype=dtype),
+        delta=_dpc(np.ones(D), dtype=dtype),
     )
 
-    # Center in transformed space using the plausible box.
-    tplb = np.asarray(direct(base, jnp.asarray(plb, dtype=dtype)[None, :]))[0]
-    tpub = np.asarray(direct(base, jnp.asarray(pub, dtype=dtype)[None, :]))[0]
+    # Center in transformed space using the plausible box (host math: the
+    # trinfo is consumed by the host-side function logger every evaluation).
+    tplb = direct_np(base, plb[None, :])[0]
+    tpub = direct_np(base, pub[None, :])[0]
     mu = np.zeros(D)
     delta = np.ones(D)
     ok = np.isfinite(tplb) & np.isfinite(tpub)
     mu[ok] = 0.5 * (tplb[ok] + tpub[ok])
     delta[ok] = tpub[ok] - tplb[ok]
 
-    return base._replace(mu=jnp.asarray(mu, dtype=dtype),
-                         delta=jnp.asarray(delta, dtype=dtype))
+    return base._replace(mu=_dpc(mu, dtype=dtype),
+                         delta=_dpc(delta, dtype=dtype))
 
 
 def _safe_bounds(trinfo: Trinfo):
@@ -229,6 +231,120 @@ def log_abs_det_jacobian(trinfo: Trinfo, y: jnp.ndarray) -> jnp.ndarray:
 def pdf_correction(trinfo: Trinfo, y: jnp.ndarray) -> jnp.ndarray:
     """|dx/dy| multiplier (the reference 'prob' action)."""
     return jnp.exp(log_abs_det_jacobian(trinfo, y))
+
+
+# ----------------------------------------------------------------------
+# Host (numpy) twins — same math on the CPU, for host-side consumers.
+#
+# The function logger runs one inverse + one log-Jacobian per target
+# evaluation; through the remote-TPU tunnel each device call costs a ~30 ms
+# blocking pull, so the per-evaluation bookkeeping stays on the host. The
+# jax implementations above remain the jit/vmap path used inside kernels.
+# ----------------------------------------------------------------------
+
+def _host_fields(trinfo: Trinfo):
+    from vbmc_tpu.utils.hostcache import to_np
+    t = to_np(trinfo.type)
+    lb = np.asarray(to_np(trinfo.lb_orig), float)
+    ub = np.asarray(to_np(trinfo.ub_orig), float)
+    a = np.where(np.isfinite(lb), lb, 0.0)
+    b = np.where(np.isfinite(ub), ub, 1.0)
+    b = np.where(b > a, b, a + 1.0)
+    mu = np.asarray(to_np(trinfo.mu), float)
+    delta = np.asarray(to_np(trinfo.delta), float)
+    R = None if trinfo.R_mat is None else np.asarray(to_np(trinfo.R_mat), float)
+    s = None if trinfo.scale is None else np.asarray(to_np(trinfo.scale), float)
+    return t, a, b, mu, delta, R, s
+
+
+def _t4_cdf_np(u):
+    s = u / np.sqrt(u * u + 4.0)
+    return 0.5 + 0.25 * s * (3.0 - s * s)
+
+
+def _t4_icdf_np(p):
+    p = np.clip(p, _TINY, 1.0 - 1e-16)
+    alpha = 4.0 * p * (1.0 - p)
+    sqrt_alpha = np.sqrt(alpha)
+    q = np.cos(np.arccos(sqrt_alpha) / 3.0) / sqrt_alpha
+    return np.sign(p - 0.5) * 2.0 * np.sqrt(q - 1.0)
+
+
+def direct_np(trinfo: Trinfo, x: np.ndarray) -> np.ndarray:
+    from scipy.special import ndtri as _ndtri
+    t, a, b, mu, delta, R, s = _host_fields(trinfo)
+    x = np.asarray(x, float)
+
+    y0 = (x - mu) / delta
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y1 = np.log(np.maximum(x - a, _TINY))
+        y2 = np.log(np.maximum(b - x, _TINY))
+        z = np.clip((x - a) / (b - a), _TINY, 1.0 - 1e-16)
+        u = np.where(t == LOGIT, np.log(z) - np.log1p(-z),
+                     np.where(t == PROBIT, _ndtri(z), _t4_icdf_np(z)))
+    y3 = (u - mu) / delta
+    y = np.where(t == 0, y0, np.where(t == 1, y1, np.where(t == 2, y2, y3)))
+    if R is not None:
+        y = y @ R
+    if s is not None:
+        y = y / s
+    return y
+
+
+def _unrotate_np(y, R, s):
+    if s is not None:
+        y = y * s
+    if R is not None:
+        y = y @ R.T
+    return y
+
+
+def inverse_np(trinfo: Trinfo, y: np.ndarray) -> np.ndarray:
+    from scipy.special import ndtr as _ndtr
+    t, a, b, mu, delta, R, s = _host_fields(trinfo)
+    y = _unrotate_np(np.asarray(y, float), R, s)
+
+    x0 = mu + delta * y
+    with np.errstate(over="ignore"):
+        x1 = a + np.exp(y)
+        x2 = b - np.exp(y)
+    u = y * delta + mu
+    with np.errstate(over="ignore"):
+        z = np.where(t == LOGIT, 1.0 / (1.0 + np.exp(-u)),
+                     np.where(t == PROBIT, _ndtr(u), _t4_cdf_np(u)))
+    x3 = a + (b - a) * z
+    x = np.where(t == 0, x0, np.where(t == 1, x1, np.where(t == 2, x2, x3)))
+    bounded = (t == LOGIT) | (t == PROBIT) | (t == STUDENT4)
+    x = np.where(bounded, np.clip(x, a, b), x)
+    return x
+
+
+def log_abs_det_jacobian_np(trinfo: Trinfo, y: np.ndarray) -> np.ndarray:
+    t, a, b, mu, delta, R, s = _host_fields(trinfo)
+    y_s = _unrotate_np(np.asarray(y, float), R, s)
+
+    # delta is negative for upper-bounded (type 2) dims; the NaN it produces
+    # in the unselected lanes is discarded by the where-select, exactly as in
+    # the jax path above.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p0 = np.log(delta) * np.ones_like(y_s)
+        p12 = y_s
+        u = y_s * delta + mu
+        lab = np.log(b - a)
+
+        def _softplus(v):
+            return np.logaddexp(0.0, v)
+
+        p_logit = lab - _softplus(u) - _softplus(-u) + np.log(delta)
+        p_probit = lab - 0.5 * np.log(2 * np.pi) - 0.5 * u * u + np.log(delta)
+        p_t4 = (lab + np.log(3.0 / 8.0) - 2.5 * np.log1p(u * u / 4.0)
+                + np.log(delta))
+        p3 = np.where(t == LOGIT, p_logit,
+                      np.where(t == PROBIT, p_probit, p_t4))
+    p = np.where(t == 0, p0, np.where((t == 1) | (t == 2), p12, p3))
+    if s is not None:
+        p = p + np.log(s)
+    return np.sum(p, axis=-1)
 
 
 def real_to_int(trinfo: Trinfo, y: jnp.ndarray,

@@ -69,10 +69,11 @@ def make_vp(trinfo: Trinfo, mu: np.ndarray, sigma, lam, w=None,
     eta_p = np.full(k_max, -40.0)
     eta_p[:K] = np.log(np.maximum(w, 1e-30))
     kmask = np.arange(k_max) < K
+    from vbmc_tpu.utils.hostcache import device_put_cached as _dpc
     return VariationalPosterior(
-        w=jnp.asarray(w_p, dtype=dtype), eta=jnp.asarray(eta_p, dtype=dtype),
-        mu=jnp.asarray(mu_p, dtype=dtype), sigma=jnp.asarray(sg_p, dtype=dtype),
-        lam=jnp.asarray(lam, dtype=dtype), kmask=jnp.asarray(kmask),
+        w=_dpc(w_p, dtype=dtype), eta=_dpc(eta_p, dtype=dtype),
+        mu=_dpc(mu_p, dtype=dtype), sigma=_dpc(sg_p, dtype=dtype),
+        lam=_dpc(lam, dtype=dtype), kmask=_dpc(kmask),
         trinfo=trinfo)
 
 

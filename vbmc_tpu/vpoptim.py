@@ -47,12 +47,13 @@ def vbinit(rng: np.random.Generator, init_type: int, n_opts: int,
     Returns stacked host arrays: mu (n, k_max, D), sigma (n, k_max),
     lam (n, D), w (n, k_max).
     """
+    from vbmc_tpu.utils.hostcache import to_np
     D = vp.D
-    K_old = int(np.sum(np.asarray(vp.kmask)))
-    mu0 = np.asarray(vp.mu)[:K_old]           # (K_old, D)
-    sigma0 = np.asarray(vp.sigma)[:K_old]
-    lam0 = np.asarray(vp.lam)
-    w0 = np.asarray(vp.w)[:K_old]
+    K_old = int(np.sum(to_np(vp.kmask)))
+    mu0 = np.asarray(to_np(vp.mu))[:K_old]    # (K_old, D)
+    sigma0 = np.asarray(to_np(vp.sigma))[:K_old]
+    lam0 = np.asarray(to_np(vp.lam))
+    w0 = np.asarray(to_np(vp.w))[:K_old]
     n_star = X_star.shape[0]
 
     mu_c = np.zeros((n_opts, k_max, D))
@@ -198,16 +199,21 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
                K_new: int, options, *, warmup: bool, entropy_switch: bool,
                n_fast_opts: int, n_slow_opts: int,
                n_ent=None, n_ent_fine=None,
-               prune: bool = True) -> VPOptimResult:
+               prune: bool = True,
+               host_seed: Optional[int] = None) -> VPOptimResult:
     """Optimize the variational posterior to K_new components.
 
     Orchestration is host-side; every numeric batch (sieve, L-BFGS/Adam
-    steps, precise ELCBO) is a jitted kernel.
+    steps, precise ELCBO) is a jitted kernel. ``host_seed`` seeds the
+    host-side candidate generation; when None it is derived from ``key``
+    (one blocking device pull).
     """
+    from vbmc_tpu.utils.hostcache import to_np, device_put_cached
     D = vp.D
-    seed = int(jax.random.randint(jax.random.fold_in(key, 17), (), 0,
-                                  2 ** 31 - 1))
-    rng = np.random.default_rng(seed)
+    if host_seed is None:
+        host_seed = int(jax.random.randint(jax.random.fold_in(key, 17), (),
+                                           0, 2 ** 31 - 1))
+    rng = np.random.default_rng(host_seed)
     k_max = bucket_k(K_new)
 
     opt_weights = (not warmup) and options.variable_weights
@@ -227,11 +233,11 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     if entropy_switch:
         ns_fine_k = 0
 
-    # HPD subset for candidate generation.
+    # HPD subset for candidate generation (host mirrors: no device pulls).
     from vbmc_tpu.gp.fit import get_hpd
-    m = np.asarray(gp.mask, bool)
-    X_all = np.asarray(gp.X)[m]
-    y_all = np.asarray(gp.y)[m]
+    m = np.asarray(to_np(gp.mask), bool)
+    X_all = np.asarray(to_np(gp.X))[m]
+    y_all = np.asarray(to_np(gp.y))[m]
     X_hpd, y_hpd = get_hpd(X_all, y_all, options.hpd_frac)
 
     # Soft bounds (from training-point hull).
@@ -282,8 +288,8 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         kmask_np = np.arange(k_max) < K_new
         kmask = jnp.asarray(kmask_np)
         dtype = gp.X.dtype
-        thetas = jnp.asarray(_thetas_np(flags, mu_c, sg_c, lam_c, w_c,
-                                        kmask_np), dtype=dtype)
+        thetas_host = _thetas_np(flags, mu_c, sg_c, lam_c, w_c, kmask_np)
+        thetas = jnp.asarray(thetas_host, dtype=dtype)
 
         tmpl_mu = jnp.asarray(mu_c[0], dtype=dtype)
         tmpl_sigma = jnp.asarray(sg_c[0], dtype=dtype)
@@ -301,27 +307,29 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
                                         keys, bnd))
         nelcbo = np.where(np.isfinite(nelcbo), nelcbo, np.inf)
         order = np.argsort(nelcbo)
-        thetas_np = np.asarray(thetas)[order]
+        # Host copy of the candidate thetas (cast to the device dtype so the
+        # values match a device pull bit-for-bit).
+        thetas_np = thetas_host.astype(np.dtype(dtype), copy=False)[order]
         types = types[order]
     else:
-        kmask = jnp.asarray(np.arange(k_max) < K_new)
+        kmask_np = np.arange(k_max) < K_new
+        kmask = jnp.asarray(kmask_np)
         dtype = gp.X.dtype
-        # Repad current vp to k_max.
+        # Repad current vp to k_max (host math + host theta packing).
         mu_p = np.zeros((k_max, D)); sg_p = np.ones(k_max)
         w_p = np.zeros(k_max)
-        K_old = int(np.sum(np.asarray(vp.kmask)))
-        mu_p[:K_old] = np.asarray(vp.mu)[:K_old]
-        sg_p[:K_old] = np.asarray(vp.sigma)[:K_old]
-        w_p[:K_old] = np.asarray(vp.w)[:K_old]
-        th = np.asarray(_theta_from_arrays(
-            flags, jnp.asarray(mu_p, dtype=dtype), jnp.asarray(sg_p, dtype=dtype),
-            jnp.asarray(np.asarray(vp.lam), dtype=dtype),
-            jnp.asarray(w_p, dtype=dtype), kmask))
-        thetas_np = th[None, :]
+        K_old = int(np.sum(to_np(vp.kmask)))
+        mu_p[:K_old] = np.asarray(to_np(vp.mu))[:K_old]
+        sg_p[:K_old] = np.asarray(to_np(vp.sigma))[:K_old]
+        w_p[:K_old] = np.asarray(to_np(vp.w))[:K_old]
+        lam_np = np.asarray(to_np(vp.lam))
+        th = _thetas_np(flags, mu_p[None], sg_p[None], lam_np[None],
+                        w_p[None], kmask_np)[0]
+        thetas_np = th.astype(np.dtype(dtype))[None, :]
         types = np.array([1])
         tmpl_mu = jnp.asarray(mu_p, dtype=dtype)
         tmpl_sigma = jnp.asarray(sg_p, dtype=dtype)
-        tmpl_lam = jnp.asarray(np.asarray(vp.lam), dtype=dtype)
+        tmpl_lam = jnp.asarray(lam_np, dtype=dtype)
         tmpl_w = jnp.asarray(w_p, dtype=dtype)
 
     tmpl = VPTemplate(tmpl_mu, tmpl_sigma, tmpl_lam, tmpl_w, kmask)
@@ -404,9 +412,11 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
             [mids_all, jnp.tile(mids_all[:1], (n_mid_b - n_mid, 1))])
         midkeys = list(midkeys) + [midkeys[0]] * (n_mid_b - n_mid)
 
-    sts = _full_eval_batch(cfg, mids_all, gp, tmpl, flags, ns_fine_k,
-                           jnp.stack(midkeys))
-    mids_np = np.asarray(mids_all)
+    # ONE blocking pull for the whole stats dict of every candidate —
+    # everything after this point is host-side numpy.
+    sts, mids_np = jax.device_get(
+        (_full_eval_batch(cfg, mids_all, gp, tmpl, flags, ns_fine_k,
+                          jnp.stack(midkeys)), mids_all))
     for j in range(mids_np.shape[0]):
         results.append((mids_np[j],
                         {kk: vv[j] for kk, vv in sts.items()}))
@@ -422,7 +432,7 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
 
     # --- pruning ------------------------------------------------------
     pruned = 0
-    kmask_np = np.asarray(tmpl.kmask).copy()
+    kmask_np = kmask_np.copy()
     w_cur = np.asarray(st_best["w"])
     mu_cur = np.asarray(st_best["mu"])
     sg_cur = np.asarray(st_best["sigma"])
@@ -451,12 +461,13 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
             idxs = np.resize(cand, P)
             keys_p = jnp.stack([jax.random.fold_in(key, 999 + int(i) + 31 * j)
                                 for j, i in enumerate(idxs)])
-            sts_p = _prune_eval_batch(
+            # Whole stats dict pulled in one blocking transfer.
+            sts_p = jax.device_get(_prune_eval_batch(
                 cfg, gp, jnp.asarray(mu_cur), jnp.asarray(sg_cur),
                 jnp.asarray(lam_cur), jnp.asarray(w_cur),
                 jnp.asarray(kmask_np), jnp.asarray(idxs, dtype=jnp.int32),
-                flags, ns_fine_k, keys_p)
-            elbos_p, varFs_p = jax.device_get((sts_p["elbo"], sts_p["varF"]))
+                flags, ns_fine_k, keys_p))
+            elbos_p, varFs_p = sts_p["elbo"], sts_p["varF"]
             n_c = len(cand)
             sds_p = np.sqrt(np.maximum(varFs_p[:n_c], 0.0))
             d_elcbo = np.abs(
@@ -474,16 +485,21 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
             elbo_cur, elbo_sd_cur = float(elbos_p[j]), float(sds_p[j])
             pruned += 1
 
+    # All st_cur values are host numpy (batched device_get above); the VP
+    # device arrays register host mirrors so the next iteration's candidate
+    # generation reads them back for free.
     vp_new = VariationalPosterior(
-        w=jnp.asarray(w_cur * kmask_np / max((w_cur * kmask_np).sum(), 1e-30),
-                      dtype=gp.X.dtype),
-        eta=jnp.asarray(np.where(kmask_np,
-                                 np.log(np.maximum(w_cur, 1e-30)), -40.0),
-                        dtype=gp.X.dtype),
-        mu=jnp.asarray(np.asarray(st_cur["mu"]), dtype=gp.X.dtype),
-        sigma=jnp.asarray(np.asarray(st_cur["sigma"]), dtype=gp.X.dtype),
-        lam=jnp.asarray(np.asarray(st_cur["lam"]), dtype=gp.X.dtype),
-        kmask=jnp.asarray(kmask_np),
+        w=device_put_cached(
+            w_cur * kmask_np / max((w_cur * kmask_np).sum(), 1e-30),
+            dtype=gp.X.dtype),
+        eta=device_put_cached(np.where(kmask_np,
+                                       np.log(np.maximum(w_cur, 1e-30)),
+                                       -40.0), dtype=gp.X.dtype),
+        mu=device_put_cached(np.asarray(st_cur["mu"]), dtype=gp.X.dtype),
+        sigma=device_put_cached(np.asarray(st_cur["sigma"]),
+                                dtype=gp.X.dtype),
+        lam=device_put_cached(np.asarray(st_cur["lam"]), dtype=gp.X.dtype),
+        kmask=device_put_cached(kmask_np),
         trinfo=vp.trinfo)
 
     return VPOptimResult(

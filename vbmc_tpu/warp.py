@@ -64,8 +64,9 @@ def compute_rotoscale(vp: VariationalPosterior, corr_thresh: float = 0.05,
     scale = np.sqrt(sv + np.finfo(float).eps)
 
     dtype = ti.mu.dtype
-    return ti._replace(R_mat=jnp.asarray(U, dtype=dtype),
-                       scale=jnp.asarray(scale, dtype=dtype))
+    from vbmc_tpu.utils.hostcache import device_put_cached as _dpc
+    return ti._replace(R_mat=_dpc(U, dtype=dtype),
+                       scale=_dpc(scale, dtype=dtype))
 
 
 def update_plausible_bounds(trinfo: Trinfo, plb_orig, pub_orig, key,
