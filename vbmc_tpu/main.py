@@ -666,7 +666,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             iter=it, elbo=elbo, elbo_sd=elbo_sd, sKL=sKL, sKL_true=sKL_true,
             K=state.vp_K, N=logger.n_train, neff=logger.neff,
             func_count=logger.func_count, warmup=state.warmup,
-            pruned=res.pruned, varss=res.varss, lcbmax=lcbmax, vp=vp,
+            pruned=res.pruned, varss=res.varss, lcbmax=lcbmax, vp=vp, gp=gp,
             gp_hyp=np.asarray(to_np(gp.hyp))[
                 np.asarray(to_np(gp.hyp_mask), bool)],
             gp_hyp_full=gpinfo["hyp_full"], gp_ns=gpinfo["ns_samples"],
@@ -755,13 +755,16 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         key, k_boost = jax.random.split(key)
         n_fast = int(math.ceil(opt.evalopt("ns_elbo", K_boost)
                                * opt.ns_elbo_incr))
-        # Rebuild the GP of the best iteration for the boost.
+        # The boost must use the GP of the best ITERATION, not the final GP
+        # (`finalboost_vbmc.m:36`): after an input warp the two live in
+        # different transformed spaces and mixing them corrupts the ELBO.
+        gp_best = stats.iterations[idx_best].gp or gp
         res_boost = vpoptimize(
-            k_boost, cfg, vp_best, gp, K_boost, opt, warmup=False,
+            k_boost, cfg, vp_best, gp_best, K_boost, opt, warmup=False,
             entropy_switch=state.entropy_switch, n_fast_opts=n_fast,
             n_slow_opts=1, n_ent=opt.evalopt("ns_ent_boost", K_boost),
             n_ent_fine=opt.evalopt("ns_ent_fine_boost", K_boost),
-            prune=False)
+            prune=False, host_seed=int(rng.integers(2 ** 31 - 1)))
         vp = res_boost.vp
         elbo, elbo_sd = res_boost.elbo, res_boost.elbo_sd
     else:

@@ -33,6 +33,12 @@ class IterStats:
     stable: bool = False
     lcbmax: float = -math.inf
     vp: object = None
+    # The iteration's trained GP (cf. `stats.gp`, `vbmc.m:1043-1044`). The
+    # final boost MUST pair the best iteration's vp with the GP of that SAME
+    # iteration (`finalboost_vbmc.m:36`): after an input warp they live in a
+    # different transformed space than the current GP. JAX arrays are
+    # immutable, so keeping the object is safe; N stays <= a few hundred.
+    gp: object = None
     gp_hyp: Optional[np.ndarray] = None      # (S, Nhyp) hyp samples
     gp_hyp_full: Optional[np.ndarray] = None  # pre-thin samples
     gp_ns: int = 0
