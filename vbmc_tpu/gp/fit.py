@@ -236,23 +236,62 @@ def _map_optimize(cfg: GPConfig, x0s, prior, X, y, s2, mask, maxiter: int):
     return jax.vmap(run)(x0s)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_keep_max"))
-def _sample_chains(cfg: GPConfig, key, x0s, widths, prior, X, y, s2, mask,
-                   n_keep, burn, thin, n_keep_max: int):
+@partial(jax.jit, static_argnames=("cfg", "n_keep_max", "warm", "maxiter"))
+def _map_sample_assemble(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
+                         prior, X, y, s2, mask, ns, burn, thin,
+                         n_keep_max: int, warm: bool, maxiter: int):
+    """Fused GP-hyperparameter pipeline: MAP polish -> best select -> chain
+    starts (jittered around MAP, or warm starts from the previous posterior)
+    -> parallel slice chains -> interleave -> padded sample buffer. One
+    device program; the caller pulls (hyp_map, samples, buffer) in a single
+    transfer and the GP factorization consumes the buffer without any pull.
+    ``ns`` is a DEVICE scalar so the Ns schedule (`gptrain_vbmc.m:314-343`)
+    never forces a recompile."""
+    def obj(h):
+        nll = (core.neg_log_marginal_likelihood(cfg, h, X, y, s2, mask)
+               - core.hyperprior_logpdf(prior, h))
+        return jnp.where(jnp.isfinite(nll), nll, 1e12)
+
+    if maxiter > 0:
+        def run_map(x0):
+            return minimize_lbfgs_bounded(obj, x0, prior.lb, prior.ub,
+                                          maxiter=maxiter)
+        hyp_opt, f_opt = jax.vmap(run_map)(x0s_map)
+        best = jnp.argmin(jnp.where(jnp.isfinite(f_opt), f_opt, jnp.inf))
+        hyp_map = hyp_opt[best]
+    else:
+        hyp_map = x0s_map[0]
+    hyp_map = jnp.clip(hyp_map, prior.lb + 1e-12, prior.ub - 1e-12)
+
+    if warm:
+        x0s_chain = eps_or_cs            # (C, nh) previous posterior samples
+    else:
+        x0s_chain = hyp_map[None, :] + eps_or_cs * (0.1 * widths)[None, :]
+    x0s_chain = jnp.clip(x0s_chain, prior.lb + 1e-10, prior.ub - 1e-10)
+    x0s_chain = x0s_chain.at[0].set(hyp_map)
+
     def logpdf(h):
         lp = core.gp_log_posterior(cfg, prior, h, X, y, s2, mask)
         in_bounds = jnp.all((h >= prior.lb) & (h <= prior.ub))
         lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
         return jnp.where(in_bounds, lp, -jnp.inf)
 
-    C = x0s.shape[0]
+    C = x0s_chain.shape[0]
     keys = jax.random.split(key, C)
+    n_keep = jnp.minimum(ns // C + (ns % C > 0), n_keep_max)
 
     def run(k, x0):
         return slice_sample_chain(k, logpdf, x0, widths, prior.lb, prior.ub,
                                   n_keep, burn, thin, n_keep_max)
 
-    return jax.vmap(run)(keys, x0s)
+    samples, _ = jax.vmap(run)(keys, x0s_chain)      # (C, keep_max, nh)
+    # Interleave chains: sample i of chain c -> position i*C + c.
+    flat = jnp.transpose(samples, (1, 0, 2)).reshape(-1, samples.shape[-1])
+    sb = flat.shape[0]
+    sel = jnp.arange(sb)[:, None] < ns
+    buf = jnp.where(sel, flat, hyp_map[None, :])
+    hyp_mask = jnp.arange(sb) < ns
+    return buf, hyp_mask, hyp_map, flat
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -353,29 +392,26 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         order = np.argsort(np.where(np.isfinite(nll), nll, np.inf))
         x0s = starts[order[:max(opts.nopts, 1)]]
 
-    # --- MAP optimization ------------------------------------------------
+    # --- MAP optimization + posterior sampling -----------------------------
+    # With sampling on, MAP select + chain starts + chains + buffer assembly
+    # run as ONE fused device program (no MAP round trip); the single pull
+    # below collects everything the host needs. MAP-only keeps the separate
+    # pipeline (the chain program is the expensive compile).
+    ns = int(opts.ns_samples)
     if opts.nopts > 0:
         reps = int(np.ceil(opts.nopts / x0s.shape[0]))
-        x0s_j = jnp.asarray(np.tile(x0s, (reps, 1))[:opts.nopts], dtype=dtype)
-        hyp_opt, f_opt = jax.device_get(
-            _map_optimize(cfg, x0s_j, prior, Xp, yp, s2p, mask,
-                          opts.lbfgs_iters))
-        best = int(np.nanargmin(np.where(np.isfinite(f_opt), f_opt, np.inf)))
-        hyp_map = np.asarray(hyp_opt)[best]
+        x0s_map = np.tile(x0s, (reps, 1))[:opts.nopts]
+        map_iters = opts.lbfgs_iters
     else:
-        hyp_map = x0s[0]
-    hyp_map = np.clip(hyp_map, lb_np + 1e-12, ub_np - 1e-12)
+        x0s_map = x0s[:1]
+        map_iters = 0
 
-    # --- posterior sampling ----------------------------------------------
-    ns = int(opts.ns_samples)
     if ns > 0:
         sb = bucket_ns(ns)
         C = min(opts.n_chains, sb)
         while sb % C != 0:
             C -= 1
-        per_chain = ns // C + (1 if ns % C else 0)
         keep_max = sb // C
-        per_chain = min(per_chain, keep_max)
 
         if opts.widths is not None and opts.widths.size == nh:
             widths = np.minimum(np.asarray(opts.widths, float), widths_default)
@@ -387,50 +423,57 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
             # Warm starts from a previous hyperparameter posterior: each
             # chain starts at a distinct prior sample (MAP kept as chain 0).
             cs = np.asarray(opts.chain_starts, float).reshape(-1, nh)
-            reps = int(np.ceil(C / cs.shape[0]))
-            x0s_chain = np.tile(cs, (reps, 1))[:C]
-            x0s_chain[0] = hyp_map
-            x0s_chain = np.clip(x0s_chain, lb_np + 1e-10, ub_np - 1e-10)
+            reps_c = int(np.ceil(C / cs.shape[0]))
+            eps_or_cs = np.tile(cs, (reps_c, 1))[:C]
+            warm = True
         else:
-            # Jitter chain starts around the MAP point.
-            jit_scale = 0.1 * widths
-            eps = hrng.standard_normal((C, nh))
-            x0s_chain = np.clip(hyp_map[None, :] + eps * jit_scale[None, :],
-                                lb_np + 1e-10, ub_np - 1e-10)
-            x0s_chain[0] = hyp_map
+            eps_or_cs = hrng.standard_normal((C, nh))
+            warm = False
 
-        samples, logps = _sample_chains(
-            cfg, k_sample, jnp.asarray(x0s_chain, dtype=dtype),
+        buf_dev, hyp_mask_dev, hyp_map_dev, flat_dev = _map_sample_assemble(
+            cfg, k_sample, jnp.asarray(x0s_map, dtype=dtype),
+            jnp.asarray(eps_or_cs, dtype=dtype),
             jnp.asarray(widths, dtype=dtype), prior, Xp, yp, s2p, mask,
-            jnp.asarray(per_chain), jnp.asarray(max(burn // C, opts.thin)),
-            jnp.asarray(opts.thin), keep_max)
-        samples = np.asarray(samples)          # (C, keep_max, nh)
-        # Interleave chains: sample i of chain c -> position i*C + c.
-        flat = samples.transpose(1, 0, 2).reshape(-1, nh)
-        hyp_samples = flat[:ns]
-        # Pad the sample buffer to the bucket, replicating the MAP point.
-        buf = np.tile(hyp_map[None, :], (sb, 1))
-        buf[:ns] = hyp_samples
-        hyp_mask = np.arange(sb) < ns
-        hyp_full = flat  # pre-thin record for hyperparameter covariance
+            jnp.asarray(ns), jnp.asarray(max(burn // C, opts.thin)),
+            jnp.asarray(opts.thin), keep_max, warm, map_iters)
+        gp = _build_gp_jit(cfg, Xp, yp, s2p, mask, buf_dev, hyp_mask_dev)
+        # ONE blocking pull for every host-needed result; register the
+        # sample buffer's host mirror so downstream reads stay free.
+        hyp_map, hyp_full, buf_host, hyp_mask_host = jax.device_get(
+            (hyp_map_dev, flat_dev, buf_dev, hyp_mask_dev))
+        register(buf_dev, buf_host)
+        register(hyp_mask_dev, hyp_mask_host)
+        hyp_map = np.asarray(hyp_map)
+        hyp_full = np.asarray(hyp_full)
+        hyp_dev, hyp_mask_out = buf_dev, hyp_mask_dev
     else:
         # MAP-only: still pad the sample axis to the smallest S bucket —
         # dropping from S>1 to S=1 mid-run would recompile every downstream
         # kernel (the S axis is a leading dim of all GP posterior arrays).
+        if map_iters > 0:
+            hyp_opt, f_opt = jax.device_get(
+                _map_optimize(cfg, jnp.asarray(x0s_map, dtype=dtype), prior,
+                              Xp, yp, s2p, mask, map_iters))
+            best = int(np.nanargmin(np.where(np.isfinite(f_opt), f_opt,
+                                             np.inf)))
+            hyp_map = np.asarray(hyp_opt)[best]
+        else:
+            hyp_map = x0s_map[0]
+        hyp_map = np.clip(hyp_map, lb_np + 1e-12, ub_np - 1e-12)
         sb = bucket_ns(1)
         buf = np.tile(hyp_map[None, :], (sb, 1))
         hyp_mask = np.arange(sb) < 1
         hyp_full = hyp_map[None, :]
+        hyp_dev = device_put_cached(buf, dtype=dtype)
+        hyp_mask_out = device_put_cached(hyp_mask)
+        gp = _build_gp_jit(cfg, Xp, yp, s2p, mask, hyp_dev, hyp_mask_out)
 
-    hyp_dev = device_put_cached(buf, dtype=dtype)
-    hyp_mask_dev = device_put_cached(hyp_mask)
-    gp = _build_gp_jit(cfg, Xp, yp, s2p, mask, hyp_dev, hyp_mask_dev)
     # The jit re-emits the passthrough arrays as fresh device buffers;
     # restore the input references so their host mirrors stay attached
     # (orchestration re-reads X/y/mask/hyp every iteration — each read
     # would otherwise be a ~30 ms blocking pull through the TPU tunnel).
     gp = gp._replace(X=Xp, y=yp, s2=s2p, mask=mask, hyp=hyp_dev,
-                     hyp_mask=hyp_mask_dev)
+                     hyp_mask=hyp_mask_out)
     # Multi-device: shard the hyperparameter-sample axis over the mesh so
     # every downstream ensemble reduction runs as a cross-device psum.
     from vbmc_tpu.parallel.context import shard_gp

@@ -206,11 +206,12 @@ def _update_hyp_runcov(state: st.OptimState, hyp_full: np.ndarray,
         state.hyp_runcov = (1 - w) * hypcov + w * state.hyp_runcov
 
 
-def _estimate_sn2hpd(cfg: GPConfig, gp, logger) -> float:
-    """GP noise around the top HPD region (`gptrain_vbmc.m:347-377`)."""
+def _estimate_sn2hpd(cfg: GPConfig, gp, logger, sn2: np.ndarray) -> float:
+    """GP noise around the top HPD region (`gptrain_vbmc.m:347-377`).
+    ``sn2``: host copy of gp.sn2 (pulled in the finalize batch)."""
     X, y, _ = logger.training_data()
     n_hpd = max(int(math.ceil(0.2 * X.shape[0])), 1)
-    sn2 = np.asarray(jax.device_get(gp.sn2))   # (S, N_max): the one pull here
+    sn2 = np.asarray(sn2)                      # (S, N_max)
     m = np.asarray(to_np(gp.hyp_mask), float)
     sn2_mean = (sn2 * m[:, None]).sum(0) / max(m.sum(), 1.0)
     sel = np.where(np.asarray(to_np(gp.mask), bool))[0]
@@ -221,33 +222,35 @@ def _estimate_sn2hpd(cfg: GPConfig, gp, logger) -> float:
     return float(np.median(vals[order_idx]))
 
 
-def _predict_padded(cfg, gp, X: np.ndarray):
-    """GP predictive summary at host points, padded to a bucket so the
-    jitted kernel compiles a bounded number of variants. Point sets larger
-    than the top bucket are processed in top-bucket chunks."""
+def _predict_padded_dev(cfg, gp, X: np.ndarray):
+    """GP predictive summary at host points as LAZY device arrays (callers
+    batch the blocking pull with other results). Inputs are padded to a
+    bucket so the jitted kernel compiles a bounded number of variants;
+    point sets larger than the top bucket are processed in chunks."""
     from vbmc_tpu.gp.predict import gp_predict_jit
     from vbmc_tpu.utils.math import bucket_n, pad_to, N_BUCKETS
 
     X = np.asarray(X, float)
     n = X.shape[0]
     top = N_BUCKETS[-1]
-    if n > top:
-        outs = [_predict_padded(cfg, gp, X[i:i + top])
-                for i in range(0, n, top)]
-        return (np.concatenate([o[0] for o in outs]),
-                np.concatenate([o[1] for o in outs]))
-    nb = bucket_n(n)
-    Xp = jnp.asarray(pad_to(X, nb), dtype=gp.X.dtype)
-    fbar, vtot, _, _ = gp_predict_jit(cfg, gp, Xp)
-    fbar, vtot = jax.device_get((fbar, vtot))   # one blocking pull for both
+    fb, vt = [], []
+    for i in range(0, max(n, 1), top):
+        chunk = X[i:i + top]
+        nb = bucket_n(chunk.shape[0])
+        Xp = jnp.asarray(pad_to(chunk, nb), dtype=gp.X.dtype)
+        fbar, vtot, _, _ = gp_predict_jit(cfg, gp, Xp)
+        fb.append(fbar[:chunk.shape[0]])
+        vt.append(vtot[:chunk.shape[0]])
+    if len(fb) == 1:
+        return fb[0], vt[0]
+    return jnp.concatenate(fb), jnp.concatenate(vt)
+
+
+def _predict_padded(cfg, gp, X: np.ndarray):
+    """As `_predict_padded_dev` with an immediate (single) blocking pull."""
+    fbar, vtot = jax.device_get(_predict_padded_dev(cfg, gp, X))
+    n = np.asarray(X).shape[0]
     return np.asarray(fbar)[:n], np.asarray(vtot)[:n]
-
-
-def _lcbmax_from_gp(cfg, gp, logger, options) -> float:
-    X, y, _ = logger.training_data()
-    fbar, vtot = _predict_padded(cfg, gp, X)
-    lcb = fbar - options.elcbo_impro_weight * np.sqrt(np.maximum(vtot, 0.0))
-    return float(np.max(lcb))
 
 
 def _recompute_lcbmax(cfg, gp, logger, stats: st.Stats, options) -> np.ndarray:
@@ -602,7 +605,6 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                               host_seed=int(rng.integers(2 ** 31 - 1)))
         hyp_warm = gpinfo["hyp_full"]
         _update_hyp_runcov(state, gpinfo["hyp_full"], opt)
-        state.sn2hpd = _estimate_sn2hpd(cfg, gp, logger)
         timers["gp_train"] += time.monotonic() - t
 
         # ------------------------------------------- variational optimization
@@ -633,23 +635,38 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         # ------------------------------------------------------- finalize
         t = time.monotonic()
         key, k_kl = jax.random.split(key)
-        sKL = max(0.0, 0.5 * float(np.sum(np.asarray(
-            vp_kldiv(vp, vp_old, n_samples=10 ** 5,
-                     gauss_flag=opt.kl_gauss, key=k_kl)))))
-        lcbmax = _lcbmax_from_gp(cfg, gp, logger, opt)
-
-        sKL_true = None
+        # All finalize metrics dispatched first, then ONE blocking pull:
+        # iteration sKL, max-LCB over training points, running moments
+        # (vbmc.m:779-793), the GP noise field for sn2hpd, and (debug) the
+        # true-moment KL.
+        kld_dev = vp_kldiv(vp, vp_old, n_samples=10 ** 5,
+                           gauss_flag=opt.kl_gauss, key=k_kl)
+        fbar_dev, vtot_dev = _predict_padded_dev(cfg, gp, X_tr)
+        mom_dev = vp_moments(vp, orig_flag=False)
+        true_mom_dev = None
         if opt.true_mean is not None and opt.true_cov is not None:
             key, k_mom = jax.random.split(key)
-            mu_o, cov_o = jax.device_get(
-                vp_moments(vp, orig_flag=True, n_samples=10 ** 5, key=k_mom))
-            kl1, kl2 = mvn_kl(np.asarray(mu_o), np.asarray(cov_o),
+            true_mom_dev = vp_moments(vp, orig_flag=True, n_samples=10 ** 5,
+                                      key=k_mom)
+        kld, fbar, vtot, (mu_t, cov_t), sn2_host, true_mom = jax.device_get(
+            (kld_dev, fbar_dev, vtot_dev, mom_dev, gp.sn2, true_mom_dev))
+
+        sKL = max(0.0, 0.5 * float(np.sum(kld)))
+        n_lcb = X_tr.shape[0]
+        lcb = (fbar[:n_lcb]
+               - opt.elcbo_impro_weight * np.sqrt(np.maximum(vtot[:n_lcb],
+                                                             0.0)))
+        lcbmax = float(np.max(lcb))
+        state.sn2hpd = _estimate_sn2hpd(cfg, gp, logger, sn2_host)
+
+        sKL_true = None
+        if true_mom is not None:
+            kl1, kl2 = mvn_kl(np.asarray(true_mom[0]),
+                              np.asarray(true_mom[1]),
                               np.asarray(opt.true_mean, float),
                               np.asarray(opt.true_cov, float))
             sKL_true = 0.5 * float(kl1 + kl2)
 
-        # Running moments (vbmc.m:779-793).
-        mu_t, cov_t = jax.device_get(vp_moments(vp, orig_flag=False))
         mu_t, cov_t = np.asarray(mu_t), np.asarray(cov_t)
         if state.run_mean is None:
             state.run_mean, state.run_cov = mu_t, cov_t

@@ -370,53 +370,32 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     keys_i = jnp.stack([jax.random.fold_in(key, 100 + i)
                         for i in range(n_opts_b)])
 
+    # Slow optimization + midpoint selection + precise ELCBO re-evaluation
+    # run as ONE device program per path (L-BFGS / Adam): the optimizer
+    # traces never cross to the host, and the single blocking pull below
+    # collects the full stats dict of every candidate. The precise-eval
+    # batch is padded to a power of two inside the program (repeat row 0)
+    # so the 1-start and 2-start paths share one compiled variant.
+    n_mid = (2 * n_opts_b if (ns_ent_k > 0 and options.elcbo_midpoint)
+             else n_opts_b)
+    n_mid_b = bucket_pow2(n_mid, lo=4 if bucket_mode() == "coarse" else 1)
     if ns_ent_k == 0:
-        # Deterministic path: all starts as one vmapped L-BFGS batch.
-        thetas_opt, _ = _lbfgs_batch(cfg, flags, theta0s, gp, tmpl,
-                                     elcbo_beta, bnd, keys_i,
-                                     options.lbfgs_iters)
-        mids_all = thetas_opt
-        midkeys = [jax.random.fold_in(keys_i[i], 7)
-                   for i in range(n_opts_b)]
+        sts_dev, mids_dev = _lbfgs_eval_batch(
+            cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd, keys_i,
+            options.lbfgs_iters, ns_fine_k, n_mid_b)
     else:
-        # Stochastic path: Adam on the MC-entropy objective, vmapped.
         step_min = min(options.sgd_step_size, 0.001)
         if warmup or not opt_weights:
             step_max = min(0.1, options.sgd_step_size * 10)
         else:
             step_max = min(0.1, options.sgd_step_size)
         step_max = max(step_min, step_max)
-        res = _adam_batch(cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd,
-                          keys_i, ns_ent_k,
-                          int(min(options.max_iter_stochastic, 10000)),
-                          step_min, step_max, options.tol_fun_stochastic)
-        xs, x_traces, f_traces, n_iters_b = jax.device_get(
-            (res.x, res.x_trace, res.f_trace, res.n_iters))
-        mids_list, midkeys = [], []
-        for i in range(n_opts):
-            if options.elcbo_midpoint:
-                ftr = np.where(np.arange(f_traces.shape[1]) < n_iters_b[i],
-                               f_traces[i], np.inf)
-                mids_list.append(x_traces[i][int(np.argmin(ftr))])
-                midkeys.append(jax.random.fold_in(keys_i[i], 7))
-            mids_list.append(xs[i])
-            midkeys.append(jax.random.fold_in(keys_i[i], 7))
-        mids_all = jnp.asarray(np.stack(mids_list))
-
-    # Pad the precise-evaluation batch to a power of two (repeat row 0) so
-    # the 1-start and 2-start paths share one compiled variant per size class.
-    n_mid = mids_all.shape[0]
-    n_mid_b = bucket_pow2(n_mid, lo=4 if bucket_mode() == "coarse" else 1)
-    if n_mid_b > n_mid:
-        mids_all = jnp.concatenate(
-            [mids_all, jnp.tile(mids_all[:1], (n_mid_b - n_mid, 1))])
-        midkeys = list(midkeys) + [midkeys[0]] * (n_mid_b - n_mid)
-
-    # ONE blocking pull for the whole stats dict of every candidate —
-    # everything after this point is host-side numpy.
-    sts, mids_np = jax.device_get(
-        (_full_eval_batch(cfg, mids_all, gp, tmpl, flags, ns_fine_k,
-                          jnp.stack(midkeys)), mids_all))
+        sts_dev, mids_dev = _adam_eval_batch(
+            cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd, keys_i, ns_ent_k,
+            int(min(options.max_iter_stochastic, 10000)), step_min, step_max,
+            options.tol_fun_stochastic, bool(options.elcbo_midpoint),
+            ns_fine_k, n_mid_b)
+    sts, mids_np = jax.device_get((sts_dev, mids_dev))
     for j in range(mids_np.shape[0]):
         results.append((mids_np[j],
                         {kk: vv[j] for kk, vv in sts.items()}))
@@ -571,13 +550,12 @@ def fractional_ess(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
 
 
 # ----------------------------------------------------------------------
-# Cached jitted optimizer drivers
+# Optimizer drivers (traced inline by the fused jitted programs below)
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "flags", "maxiter"))
-def _lbfgs_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, maxiter):
-    """All slow-optimization starts as ONE vmapped L-BFGS batch — one
-    dispatch instead of one per start."""
+def _lbfgs_batch_core(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+                      maxiter):
+    """All slow-optimization starts as ONE vmapped L-BFGS batch."""
     def run(th0, k):
         def obj(th):
             F, _ = eb.negelcbo(cfg, th, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
@@ -590,9 +568,8 @@ def _lbfgs_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, maxiter):
     return jax.vmap(run)(theta0s, keys)
 
 
-@partial(jax.jit, static_argnames=("cfg", "flags", "ns_ent_k", "maxiter"))
-def _adam_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, ns_ent_k,
-                maxiter, step_min, step_max, tol_fun):
+def _adam_batch_core(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+                     ns_ent_k, maxiter, step_min, step_max, tol_fun):
     def run(th0, k):
         def f_vg(th, kk):
             def f(t):
@@ -605,6 +582,63 @@ def _adam_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys, ns_ent_k,
         return fminadam(f_vg, th0, tol_fun=tol_fun, maxiter=maxiter,
                         step_min=step_min, step_max=step_max, key=k)
     return jax.vmap(run)(theta0s, keys)
+
+
+def _pad_rows(x, n_out: int):
+    """Pad axis 0 to ``n_out`` by repeating row 0 (device-side)."""
+    n = x.shape[0]
+    if n >= n_out:
+        return x[:n_out]
+    return jnp.concatenate([x, jnp.tile(x[:1], (n_out - n,) + (1,) *
+                                        (x.ndim - 1))])
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "maxiter", "ns_fine_k",
+                                   "n_out"))
+def _lbfgs_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+                      maxiter, ns_fine_k, n_out: int):
+    """Deterministic slow path fused end to end: vmapped L-BFGS over all
+    starts, pad to the precise-eval bucket, full ELCBO stats — ONE device
+    program, one host pull at the call site."""
+    thetas_opt, _ = _lbfgs_batch_core(cfg, flags, theta0s, gp, tmpl, beta,
+                                      bnd, keys, maxiter)
+    mids = _pad_rows(thetas_opt, n_out)
+    evalkeys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(
+        _pad_rows(keys, n_out))
+    sts = _full_eval_core(cfg, mids, gp, tmpl, flags, ns_fine_k, evalkeys)
+    return sts, mids
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "ns_ent_k", "maxiter",
+                                   "use_midpoint", "ns_fine_k", "n_out"))
+def _adam_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+                     ns_ent_k, maxiter, step_min, step_max, tol_fun,
+                     use_midpoint: bool, ns_fine_k, n_out: int):
+    """Stochastic slow path fused end to end: vmapped Adam, on-device
+    midpoint selection (`vpoptimize_vbmc.m:103-136` ELCBO-midpoint), pad,
+    precise ELCBO stats. The optimizer traces never reach the host."""
+    res = _adam_batch_core(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+                           ns_ent_k, maxiter, step_min, step_max, tol_fun)
+    if use_midpoint:
+        T = res.f_trace.shape[1]
+
+        def midpoint(xtr, ftr, n_it):
+            masked = jnp.where(jnp.arange(T) < n_it, ftr, jnp.inf)
+            return xtr[jnp.argmin(masked)]
+
+        xmid = jax.vmap(midpoint)(res.x_trace, res.f_trace, res.n_iters)
+        # Interleave [mid_i, final_i] to preserve the candidate ordering.
+        mids = jnp.stack([xmid, res.x], axis=1).reshape(
+            -1, res.x.shape[-1])
+        keys2 = jnp.repeat(keys, 2, axis=0)
+    else:
+        mids = res.x
+        keys2 = keys
+    mids = _pad_rows(mids, n_out)
+    evalkeys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(
+        _pad_rows(keys2, n_out))
+    sts = _full_eval_core(cfg, mids, gp, tmpl, flags, ns_fine_k, evalkeys)
+    return sts, mids
 
 
 @partial(jax.jit, static_argnames=("cfg", "flags", "ns_fine_k"))
@@ -621,35 +655,8 @@ def _prune_eval_batch(cfg, gp, mu, sigma, lam, w, kmask, idxs, flags,
     return jax.vmap(one)(idxs, keys)
 
 
-@partial(jax.jit, static_argnames=("cfg", "flags", "ns_fine_k"))
-def _full_eval_batch(cfg, thetas, gp, tmpl, flags, ns_fine_k, keys):
+def _full_eval_core(cfg, thetas, gp, tmpl, flags, ns_fine_k, keys):
     def one(th, k):
         return eb.elbo_stats(cfg, th, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
                              tmpl.w, tmpl.kmask, flags, ns_fine_k, 1, k)
     return jax.vmap(one)(thetas, keys)
-
-
-@partial(jax.jit, static_argnames=("cfg", "flags", "maxiter"))
-def _lbfgs_cached(cfg, flags, theta0, gp, tmpl, beta, bnd, key, maxiter):
-    def obj(th):
-        F, _ = eb.negelcbo(cfg, th, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
-                           tmpl.w, tmpl.kmask, flags, beta, 0, 0, key,
-                           bnd=bnd, use_bounds=True)
-        return F
-    lb = jnp.full(theta0.shape, -jnp.inf, dtype=theta0.dtype)
-    ub = jnp.full(theta0.shape, jnp.inf, dtype=theta0.dtype)
-    return minimize_lbfgs_bounded(obj, theta0, lb, ub, maxiter=maxiter)
-
-
-@partial(jax.jit, static_argnames=("cfg", "flags", "ns_ent_k", "maxiter"))
-def _adam_cached(cfg, flags, theta0, gp, tmpl, beta, bnd, key, ns_ent_k,
-                 maxiter, step_min, step_max, tol_fun):
-    def f_vg(th, k):
-        def f(t):
-            F, _ = eb.negelcbo(cfg, t, gp, tmpl.mu, tmpl.sigma, tmpl.lam,
-                               tmpl.w, tmpl.kmask, flags, beta, ns_ent_k, 0,
-                               k, bnd=bnd, use_bounds=True)
-            return F
-        return jax.value_and_grad(f)(th)
-    return fminadam(f_vg, theta0, tol_fun=tol_fun, maxiter=maxiter,
-                    step_min=step_min, step_max=step_max, key=key)
