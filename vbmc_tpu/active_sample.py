@@ -224,8 +224,8 @@ def get_search_points(key, n_search: int, vp: VariationalPosterior,
 @partial(jax.jit, static_argnames=("cfg", "name", "n_search", "n_heavy",
                                    "n_mvn", "n_box", "max_evals", "popsize",
                                    "smooth", "refine"))
-def _propose_point(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
-                   sb_ub, n_search: int, n_heavy: int, n_mvn: int,
+def _propose_point(cfg: GPConfig, name: str, key, salt, vp, gp, state,
+                   sb_lb, sb_ub, n_search: int, n_heavy: int, n_mvn: int,
                    n_box: int, max_evals: int, popsize: int, smooth: bool,
                    refine: bool):
     """One acquisition step as a SINGLE device program: candidate
@@ -238,7 +238,12 @@ def _propose_point(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
     Returns (x_best (D,), f_sweep_best ()). Requires the default search-set
     composition (no HPD / cache fractions) and CMA-ES refinement with VP
     moment init; the host path remains for everything else.
+
+    ``salt`` (device scalar, the point index) derives the per-point key
+    IN-TRACE: the host loop issues zero eager PRNG dispatches per point
+    (each eager op costs a tunnel round trip in degraded states).
     """
+    key = jax.random.fold_in(key, salt)
     Xs, cov_t = _gen_candidates(key, vp, gp, sb_lb, sb_ub, n_search,
                                 n_heavy, n_mvn, n_box)
 
@@ -323,19 +328,20 @@ def _argmin_and_refine(k_cma, Xs, acq, cov_t, sb_lb, sb_ub, f_batch,
                                    "n_mvn", "n_box", "n_is_vp", "n_is_box",
                                    "n_is_mcmc", "mh_steps", "fess_thresh",
                                    "max_evals", "popsize"))
-def _propose_point_is(cfg: GPConfig, name: str, key, vp, gp, state, sb_lb,
-                      sb_ub, n_search: int, n_heavy: int, n_mvn: int,
+def _propose_point_is(cfg: GPConfig, name: str, key, salt, vp, gp, state,
+                      sb_lb, sb_ub, n_search: int, n_heavy: int, n_mvn: int,
                       n_box: int, n_is_vp: int, n_is_box: int,
                       n_is_mcmc: int, mh_steps: int, fess_thresh: float,
                       max_evals: int, popsize: int):
     """Fused VIQR/IMIQR proposal: IS-state build + candidate generation +
     sweep + CMA-ES refinement as one device program (the noisy-target
     analogue of `_propose_point`; the per-point IS rebuild is what makes
-    the noisy path the bench critical path)."""
+    the noisy path the bench critical path). ``salt`` as in
+    `_propose_point`."""
     from vbmc_tpu.active_is import build_is_state_core, \
         evaluate_is_acquisition
 
-    k_is, k_gen, k_cma = jax.random.split(key, 3)
+    k_is, k_gen, k_cma = jax.random.split(jax.random.fold_in(key, salt), 3)
     ais = build_is_state_core(k_is, cfg, name, vp, gp, n_is_vp, n_is_box,
                               n_is_mcmc, mh_steps=mh_steps,
                               fess_thresh=fess_thresh)
@@ -423,13 +429,17 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
     gls_dev = jnp.asarray(_geomean_length_scale(cfg, gp), dtype=dtype)
     sb_lb_dev = jnp.asarray(sb.lb, dtype=dtype)
     sb_ub_dev = jnp.asarray(sb.ub, dtype=dtype)
-    # All per-point keys from ONE split (each proposal program splits its
-    # own key further on-device).
-    keys_pts = jax.random.split(key, 3 * n_points + 1)
-    key = keys_pts[0]
+    ones_s_dev = jnp.ones(gp.s_max, dtype=dtype)
+    delta_sm = getattr(options, "delta_smoothing", None)
+    smooth = delta_sm is not None
+    delta_dev = (jnp.asarray(delta_sm, dtype=dtype) if smooth
+                 else jnp.zeros(D, dtype=dtype))
 
     for i in range(n_points):
-        k_search, k_cma, k_is = keys_pts[3 * i + 1: 3 * i + 4]
+        # Fused paths derive per-point keys IN-TRACE from (key, salt=i);
+        # the host-side paths fold the point index eagerly (cold paths).
+        def _k(j, _i=i):
+            return jax.random.fold_in(key, 3 * _i + j)
 
         # Default search composition + CMA-ES refinement => the whole
         # point proposal runs as ONE device program (fused fast paths).
@@ -446,7 +456,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
         # On the fused path the rebuild happens inside _propose_point_is.
         if use_is and not fused_ok:
             from vbmc_tpu.active_is import build_is_state
-            active_is_state = build_is_state(k_is, cfg, acq_name, vp, gp,
+            active_is_state = build_is_state(_k(2), cfg, acq_name, vp, gp,
                                              options)
         else:
             active_is_state = None
@@ -462,8 +472,6 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 jnp.einsum("j,sjk,k->s", wk, J, wk), 1e-12)
         # Bandwidth smoothing (`acqwrapper_vbmc.m:12-15`): delta is set by
         # the orchestrator when options.bandwidth > 0.
-        delta_sm = getattr(options, "delta_smoothing", None)
-        smooth = delta_sm is not None
         state = AcqState(
             ymax=jnp.asarray(logger.ymax, dtype=dtype),
             tol_var=tol_var_dev,
@@ -471,10 +479,9 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             ub_eps_orig=ub_eps_dev,
             gp_length_scale=gls_dev,
             var_log_joint=(var_log_joint if var_log_joint is not None
-                           else jnp.ones(gp.s_max, dtype=dtype)),
+                           else ones_s_dev),
             regularize=true_dev,
-            delta=(jnp.asarray(delta_sm, dtype=dtype) if smooth
-                   else jnp.zeros(D, dtype=dtype)))
+            delta=delta_dev)
 
         # Fast path: the whole proposal (candidate gen + sweep + CMA-ES)
         # as one device program when the default search composition applies.
@@ -489,14 +496,15 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 n_box=int(round(options.box_search_frac * ns)),
                 max_evals=options.search_max_fun_evals,
                 popsize=options.search_cmaes_popsize)
+            salt = jnp.asarray(i, dtype=jnp.int32)
             if fused:
                 x_fused, _ = _propose_point(
-                    cfg, acq_name, k_search, vp, gp, state,
+                    cfg, acq_name, key, salt, vp, gp, state,
                     sb_lb_dev, sb_ub_dev,
                     smooth=smooth, refine=True, **common)
             else:
                 x_fused, _ = _propose_point_is(
-                    cfg, acq_name, k_search, vp, gp, state,
+                    cfg, acq_name, key, salt, vp, gp, state,
                     sb_lb_dev, sb_ub_dev,
                     n_is_vp=int(
                         options.active_importance_sampling_vp_samples),
@@ -511,7 +519,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                     **common)
             x_best = np.asarray(x_fused)
         else:
-            Xsearch = get_search_points(k_search, options.ns_search, vp,
+            Xsearch = get_search_points(_k(0), options.ns_search, vp,
                                         logger, sb, options,
                                         search_cache=search_cache)
             if has_int:
@@ -549,7 +557,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
             lb_c = np.minimum(x_best, sb.lb)
             ub_c = np.maximum(x_best, sb.ub)
 
-            args = (k_cma, jnp.asarray(x_best, dtype=dtype),
+            args = (_k(1), jnp.asarray(x_best, dtype=dtype),
                     jnp.asarray(insigma, dtype=dtype),
                     jnp.asarray(lb_c, dtype=dtype),
                     jnp.asarray(ub_c, dtype=dtype), vp, gp, state)
@@ -637,8 +645,8 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 gp_tmp = gp_reupdate(cfg, gp, logger)
                 if fess_thresh < 1.0:
                     from vbmc_tpu.vpoptim import fractional_ess
-                    key, k_f = jax.random.split(key)
-                    fess = fractional_ess(k_f, cfg, vp, gp_tmp, 100)
+                    fess = fractional_ess(jax.random.fold_in(key, 9000 + i),
+                                          cfg, vp, gp_tmp, 100)
                 else:
                     fess = 0.0
                 if fess <= fess_thresh:

@@ -209,16 +209,13 @@ def vp_mode(vp: VariationalPosterior, orig_flag: bool = True, key=None):
     return inverse(vp.trinfo, x_best[None, :])[0] if orig_flag else x_best
 
 
-def vp_kldiv(vp1: VariationalPosterior, vp2: VariationalPosterior,
-             n_samples: int = 10 ** 5, gauss_flag: bool = True, key=None):
-    """Symmetrized KL components (KL(1||2), KL(2||1)) — `vbmc_kldiv.m`."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
+@_partial(jax.jit, static_argnames=("n_samples", "gauss_flag"))
+def _kldiv_jit(vp1, vp2, key, n_samples: int, gauss_flag: bool):
     k1, k2 = jax.random.split(key)
     if gauss_flag:
         # Gaussianized KL via moments (default in the iteration loop).
-        m1, c1 = vp_moments(vp1, orig_flag=True, n_samples=n_samples, key=k1)
-        m2, c2 = vp_moments(vp2, orig_flag=True, n_samples=n_samples, key=k2)
+        m1, c1 = _moments_mc_jit(vp1, k1, n_samples)
+        m2, c2 = _moments_mc_jit(vp2, k2, n_samples)
         kl1, kl2 = mvn_kl(m1, c1, m2, c2)
         return jnp.stack([kl1, kl2])
     X1 = vp_rnd(vp1, k1, n_samples, orig_flag=False)
@@ -230,6 +227,15 @@ def vp_kldiv(vp1: VariationalPosterior, vp2: VariationalPosterior,
     kl1 = jnp.maximum(jnp.mean(lp11 - lp21), 0.0)
     kl2 = jnp.maximum(jnp.mean(lp22 - lp12), 0.0)
     return jnp.stack([kl1, kl2])
+
+
+def vp_kldiv(vp1: VariationalPosterior, vp2: VariationalPosterior,
+             n_samples: int = 10 ** 5, gauss_flag: bool = True, key=None):
+    """Symmetrized KL components (KL(1||2), KL(2||1)) — `vbmc_kldiv.m`.
+    One device program (lazy result; callers may batch the pull)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _kldiv_jit(vp1, vp2, key, n_samples, bool(gauss_flag))
 
 
 def vp_mtv(vp1: VariationalPosterior, vp2: VariationalPosterior,

@@ -132,10 +132,13 @@ def vbinit(rng: np.random.Generator, init_type: int, n_opts: int,
 
 @partial(jax.jit, static_argnames=("cfg", "flags", "n_ent_per_k"))
 def _sieve_eval(cfg: GPConfig, thetas, gp: GP, mu0, sigma0, lam0, w0, kmask,
-                flags: eb.VPFlags, n_ent_per_k: int, keys, bnd):
-    def one(theta, key):
+                flags: eb.VPFlags, n_ent_per_k: int, key, bnd):
+    # Per-candidate keys derived IN-TRACE (no eager split dispatch).
+    keys = jax.random.split(jax.random.fold_in(key, 3), thetas.shape[0])
+
+    def one(theta, k):
         F, _ = eb.negelcbo(cfg, theta, gp, mu0, sigma0, lam0, w0, kmask,
-                           flags, 0.0, n_ent_per_k, 0, key, bnd=bnd,
+                           flags, 0.0, n_ent_per_k, 0, k, bnd=bnd,
                            use_bounds=True)
         return F
     return jax.vmap(one)(thetas, keys)
@@ -296,15 +299,13 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         tmpl_lam = jnp.asarray(lam_c[0], dtype=dtype)
         tmpl_w = jnp.asarray(w_c[0], dtype=dtype)
 
-        keys = jax.random.split(jax.random.fold_in(key, 3), thetas.shape[0])
         # Multi-device: the sieve candidates are pure data parallelism.
         from vbmc_tpu.parallel.context import shard_rows
         thetas = shard_rows(thetas)
-        keys = shard_rows(keys)
         # Sieve uses the *fast* entropy (0 by default => deterministic bound).
         nelcbo = np.asarray(_sieve_eval(cfg, thetas, gp, tmpl_mu, tmpl_sigma,
                                         tmpl_lam, tmpl_w, kmask, flags, 0,
-                                        keys, bnd))
+                                        key, bnd))
         nelcbo = np.where(np.isfinite(nelcbo), nelcbo, np.inf)
         order = np.argsort(nelcbo)
         # Host copy of the candidate thetas (cast to the device dtype so the
@@ -367,8 +368,6 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     starts_list = [pick_start(i) for i in range(n_opts)]
     starts_list += [starts_list[0]] * (n_opts_b - n_opts)
     theta0s = jnp.asarray(np.stack(starts_list))
-    keys_i = jnp.stack([jax.random.fold_in(key, 100 + i)
-                        for i in range(n_opts_b)])
 
     # Slow optimization + midpoint selection + precise ELCBO re-evaluation
     # run as ONE device program per path (L-BFGS / Adam): the optimizer
@@ -381,7 +380,7 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     n_mid_b = bucket_pow2(n_mid, lo=4 if bucket_mode() == "coarse" else 1)
     if ns_ent_k == 0:
         sts_dev, mids_dev = _lbfgs_eval_batch(
-            cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd, keys_i,
+            cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd, key,
             options.lbfgs_iters, ns_fine_k, n_mid_b)
     else:
         step_min = min(options.sgd_step_size, 0.001)
@@ -391,7 +390,7 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
             step_max = min(0.1, options.sgd_step_size)
         step_max = max(step_min, step_max)
         sts_dev, mids_dev = _adam_eval_batch(
-            cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd, keys_i, ns_ent_k,
+            cfg, flags, theta0s, gp, tmpl, elcbo_beta, bnd, key, ns_ent_k,
             int(min(options.max_iter_stochastic, 10000)), step_min, step_max,
             options.tol_fun_stochastic, bool(options.elcbo_midpoint),
             ns_fine_k, n_mid_b)
@@ -438,14 +437,13 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
                 break
             cand = small[:P]
             idxs = np.resize(cand, P)
-            keys_p = jnp.stack([jax.random.fold_in(key, 999 + int(i) + 31 * j)
-                                for j, i in enumerate(idxs)])
-            # Whole stats dict pulled in one blocking transfer.
+            # Whole stats dict pulled in one blocking transfer; per-removal
+            # keys derived in-trace from (key, idx, position).
             sts_p = jax.device_get(_prune_eval_batch(
                 cfg, gp, jnp.asarray(mu_cur), jnp.asarray(sg_cur),
                 jnp.asarray(lam_cur), jnp.asarray(w_cur),
                 jnp.asarray(kmask_np), jnp.asarray(idxs, dtype=jnp.int32),
-                flags, ns_fine_k, keys_p))
+                flags, ns_fine_k, key))
             elbos_p, varFs_p = sts_p["elbo"], sts_p["varF"]
             n_c = len(cand)
             sds_p = np.sqrt(np.maximum(varFs_p[:n_c], 0.0))
@@ -533,10 +531,8 @@ def vp_sample_theta(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     return vp._replace(mu=mu, sigma=sigma, lam=lam)
 
 
-def fractional_ess(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
-                   n_samples: int = 100) -> float:
-    """Fractional effective sample size of the VP against the GP posterior
-    mean density (cf. `misc/fess_vbmc.m`)."""
+@partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def _fess_jit(key, cfg: GPConfig, vp, gp, n_samples: int):
     from vbmc_tpu.vp import vp_rnd, vp_log_pdf_trans
     from vbmc_tpu.gp.predict import gp_predict
 
@@ -545,8 +541,14 @@ def fractional_ess(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     logq = vp_log_pdf_trans(vp, Xs)
     lnw = fbar - logq
     lnw = lnw - jax.scipy.special.logsumexp(lnw)
-    ess = 1.0 / jnp.sum(jnp.exp(2.0 * lnw))
-    return float(ess / n_samples)
+    return 1.0 / jnp.sum(jnp.exp(2.0 * lnw)) / n_samples
+
+
+def fractional_ess(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
+                   n_samples: int = 100) -> float:
+    """Fractional effective sample size of the VP against the GP posterior
+    mean density (cf. `misc/fess_vbmc.m`). One device program + one pull."""
+    return float(_fess_jit(key, cfg, vp, gp, n_samples))
 
 
 # ----------------------------------------------------------------------
@@ -593,13 +595,20 @@ def _pad_rows(x, n_out: int):
                                         (x.ndim - 1))])
 
 
+def _start_keys(key, n: int):
+    """Per-start keys (fold_in(key, 100+i)) derived in-trace."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, 100 + i))(
+        jnp.arange(n))
+
+
 @partial(jax.jit, static_argnames=("cfg", "flags", "maxiter", "ns_fine_k",
                                    "n_out"))
-def _lbfgs_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+def _lbfgs_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, key,
                       maxiter, ns_fine_k, n_out: int):
     """Deterministic slow path fused end to end: vmapped L-BFGS over all
     starts, pad to the precise-eval bucket, full ELCBO stats — ONE device
     program, one host pull at the call site."""
+    keys = _start_keys(key, theta0s.shape[0])
     thetas_opt, _ = _lbfgs_batch_core(cfg, flags, theta0s, gp, tmpl, beta,
                                       bnd, keys, maxiter)
     mids = _pad_rows(thetas_opt, n_out)
@@ -611,12 +620,13 @@ def _lbfgs_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
 
 @partial(jax.jit, static_argnames=("cfg", "flags", "ns_ent_k", "maxiter",
                                    "use_midpoint", "ns_fine_k", "n_out"))
-def _adam_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
+def _adam_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, key,
                      ns_ent_k, maxiter, step_min, step_max, tol_fun,
                      use_midpoint: bool, ns_fine_k, n_out: int):
     """Stochastic slow path fused end to end: vmapped Adam, on-device
     midpoint selection (`vpoptimize_vbmc.m:103-136` ELCBO-midpoint), pad,
     precise ELCBO stats. The optimizer traces never reach the host."""
+    keys = _start_keys(key, theta0s.shape[0])
     res = _adam_batch_core(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
                            ns_ent_k, maxiter, step_min, step_max, tol_fun)
     if use_midpoint:
@@ -643,16 +653,17 @@ def _adam_eval_batch(cfg, flags, theta0s, gp, tmpl, beta, bnd, keys,
 
 @partial(jax.jit, static_argnames=("cfg", "flags", "ns_fine_k"))
 def _prune_eval_batch(cfg, gp, mu, sigma, lam, w, kmask, idxs, flags,
-                      ns_fine_k, keys):
+                      ns_fine_k, key):
     """ELBO stats for a batch of candidate single-component removals."""
-    def one(idx, k):
+    def one(idx, j):
+        k = jax.random.fold_in(key, 999 + idx + 31 * j)
         kmask_try = kmask & (jnp.arange(kmask.shape[0]) != idx)
         w_try = w * kmask_try.astype(w.dtype)
         w_try = w_try / jnp.maximum(w_try.sum(), 1e-30)
         th = _theta_from_arrays(flags, mu, sigma, lam, w_try, kmask_try)
         return eb.elbo_stats(cfg, th, gp, mu, sigma, lam, w_try, kmask_try,
                              flags, ns_fine_k, 1, k)
-    return jax.vmap(one)(idxs, keys)
+    return jax.vmap(one)(idxs, jnp.arange(idxs.shape[0]))
 
 
 def _full_eval_core(cfg, thetas, gp, tmpl, flags, ns_fine_k, keys):
