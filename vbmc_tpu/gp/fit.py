@@ -246,7 +246,9 @@ def _map_sample_assemble(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
     device program; the caller pulls (hyp_map, samples, buffer) in a single
     transfer and the GP factorization consumes the buffer without any pull.
     ``ns`` is a DEVICE scalar so the Ns schedule (`gptrain_vbmc.m:314-343`)
-    never forces a recompile."""
+    never forces a recompile; the chain key is folded from ``key``
+    in-trace (no eager split on the host)."""
+    key = jax.random.fold_in(key, 2)
     def obj(h):
         nll = (core.neg_log_marginal_likelihood(cfg, h, X, y, s2, mask)
                - core.hyperprior_logpdf(prior, h))
@@ -351,8 +353,6 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
                       np.asarray(to_np(prior.pub), float), ub_np)
     starts = np.clip(starts, lb_np + 1e-12, ub_np - 1e-12)
 
-    key, k_design, k_sample, k_jitter = jax.random.split(key, 4)
-
     widths_default = np.maximum(pub_np - plb_np, 1e-3)
     if opts.ninit > 0:
         # The design is evaluated in FIXED-SIZE chunks: the reference's cubic
@@ -431,7 +431,7 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
             warm = False
 
         buf_dev, hyp_mask_dev, hyp_map_dev, flat_dev = _map_sample_assemble(
-            cfg, k_sample, jnp.asarray(x0s_map, dtype=dtype),
+            cfg, key, jnp.asarray(x0s_map, dtype=dtype),
             jnp.asarray(eps_or_cs, dtype=dtype),
             jnp.asarray(widths, dtype=dtype), prior, Xp, yp, s2p, mask,
             jnp.asarray(ns), jnp.asarray(max(burn // C, opts.thin)),

@@ -364,6 +364,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     sb = SearchBounds.init(plb_t, pub_t, lb_t, ub_t, opt.active_search_bound)
 
     key = jax.random.PRNGKey(opt.seed)
+    ks = _KeySource(key)
     gp = None
     hyp_warm = None
     search_cache = None
@@ -430,7 +431,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             trinfo_new = warp_mod.compute_rotoscale(
                 vp_for_warp, corr_thresh=opt.warp_roto_corr_thresh,
                 cov_reg=opt.warp_cov_reg)
-            key, k_w = jax.random.split(key)
+            k_w = ks()
             plb_t, pub_t = warp_mod.update_plausible_bounds(
                 trinfo_new, plb, pub, k_w)
             # Hard bounds cannot be pushed through a rotation (inf * 0);
@@ -461,7 +462,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             if opt.warp_undo_check:
                 # Retrain GP and refit VP in the warped space; undo if the
                 # ELBO regresses (vbmc.m:566-624).
-                key, k_gp2, k_vp2 = jax.random.split(key, 3)
+                k_gp2, k_vp2 = ks(), ks()
                 topts = _gp_train_options(state, stats, opt, logger,
                                           uncertainty_level)
                 X_tr, y_tr, s2_tr = logger.training_data(
@@ -506,7 +507,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
         # ------------------------------------------------ active sampling
         t = time.monotonic()
-        key, k_as = jax.random.split(key)
+        k_as = ks()
         if state.skip_active_sampling:
             state.skip_active_sampling = False
         elif gp is None:
@@ -536,7 +537,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                      or rindex_prev > opt.active_sample_full_update_threshold))
 
             def _retrain_gp(lgr, gp_prev=None):
-                k_gp_i = jax.random.fold_in(key, 1000 + it)
+                k_gp_i = ks()
                 topts_i = _gp_train_options(state, stats, opt, lgr,
                                             uncertainty_level)
                 if gp_prev is not None:
@@ -562,7 +563,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 return gp_i
 
             def _refit_vp(vp_i, gp_i):
-                k_vp_i = jax.random.fold_in(key, 2000 + it)
+                k_vp_i = ks()
                 K_i = int(np.sum(to_np(vp_i.kmask)))
                 n_fast_i = int(math.ceil(
                     opt.ns_elbo_incr * opt.evalopt("ns_elbo", K_i)))
@@ -591,7 +592,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
         # ------------------------------------------------------ GP training
         t = time.monotonic()
-        key, k_gp = jax.random.split(key)
+        k_gp = ks()
         topts = _gp_train_options(state, stats, opt, logger,
                                   uncertainty_level)
         X_tr, y_tr, s2_tr = logger.training_data(
@@ -617,7 +618,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         else:
             n_fast = int(math.ceil(n_fast * opt.ns_elbo_incr))
             n_slow = 1
-        key, k_vp = jax.random.split(key)
+        k_vp = ks()
         res = vpoptimize(k_vp, cfg, vp, gp, K_new, opt,
                          warmup=state.warmup,
                          entropy_switch=state.entropy_switch,
@@ -634,7 +635,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
         # ------------------------------------------------------- finalize
         t = time.monotonic()
-        key, k_kl = jax.random.split(key)
+        k_kl = ks()
         # All finalize metrics dispatched first, then ONE blocking pull:
         # iteration sKL, max-LCB over training points, running moments
         # (vbmc.m:779-793), the GP noise field for sn2hpd, and (debug) the
@@ -645,7 +646,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         mom_dev = vp_moments(vp, orig_flag=False)
         true_mom_dev = None
         if opt.true_mean is not None and opt.true_cov is not None:
-            key, k_mom = jax.random.split(key)
+            k_mom = ks()
             true_mom_dev = vp_moments(vp, orig_flag=True, n_samples=10 ** 5,
                                       key=k_mom)
         kld, fbar, vtot, (mu_t, cov_t), sn2_host, true_mom = jax.device_get(
@@ -717,7 +718,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         # below ymax.
         if (state.outwarp_delta is not None
                 and state.R < opt.warp_tol_reliability):
-            key, k_ow = jax.random.split(key)
+            k_ow = ks()
             Xrnd = np.asarray(vp_rnd(vp, k_ow, 2 ** 14, orig_flag=False))
             ymu, _ = _predict_padded(cfg, gp, Xrnd)
             ydelta = max(0.0, logger.ymax - float(np.quantile(ymu, 1e-3)))
@@ -769,7 +770,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     K_best = int(np.sum(to_np(vp_best.kmask)))
     K_boost = max(opt.min_final_components, K_best)
     if K_best < K_boost:
-        key, k_boost = jax.random.split(key)
+        k_boost = ks()
         n_fast = int(math.ceil(opt.evalopt("ns_elbo", K_boost)
                                * opt.ns_elbo_incr))
         # The boost must use the GP of the best ITERATION, not the final GP
@@ -851,6 +852,28 @@ def vbmc_sweep(fun, x0=None, lb=None, ub=None, plb=None, pub=None,
         opts_i = _dc.replace(options, seed=options.seed + 1000 * i)
         results.append(vbmc(fun, x0, lb, ub, plb, pub, options=opts_i))
     return vbmc_diagnostics(results), results
+
+
+class _KeySource:
+    """Host-resident PRNG key pool.
+
+    One device split + one pull at construction; every draw afterwards is a
+    host-array UPLOAD (~0.2 ms through the tunnel) instead of an eager
+    `jax.random.split` dispatch (a full round trip, ~30 ms+ in degraded
+    tunnel episodes — the main loop draws ~6 keys per iteration)."""
+
+    def __init__(self, key, n: int = 8192):
+        self._host = np.asarray(jax.device_get(jax.random.split(key, n)))
+        self._i = 0
+
+    def __call__(self):
+        if self._i >= self._host.shape[0]:   # refill (practically unreached)
+            self._host = np.asarray(jax.device_get(
+                jax.random.split(jnp.asarray(self._host[-1]), 8192)))
+            self._i = 0
+        k = jnp.asarray(self._host[self._i])
+        self._i += 1
+        return k
 
 
 _numerics_configured = False
