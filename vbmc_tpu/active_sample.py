@@ -86,9 +86,12 @@ class SearchBounds:
 
 def initial_design(key, logger: FunctionLogger, n_evals: int,
                    plb, pub, x0_cache: Optional[np.ndarray] = None,
-                   fvals_cache: Optional[np.ndarray] = None):
-    """First batch of evaluations: provided starting points + uniform draws
-    in the plausible box (`initdesign_vbmc.m:10-28`, 'plausible' mode).
+                   fvals_cache: Optional[np.ndarray] = None,
+                   init_design: str = "plausible"):
+    """First batch of evaluations: provided starting points + random draws
+    (`initdesign_vbmc.m:10-28`): 'plausible' draws uniformly in the
+    plausible box; 'narrow' draws in a 0.1x plausible-box window around the
+    first starting point, clipped to the box (`initdesign_vbmc.m:16-19`).
 
     An oversized starting cache is thinned by k-means clustering, keeping
     the best-density representative of each cluster
@@ -136,7 +139,14 @@ def initial_design(key, logger: FunctionLogger, n_evals: int,
     n_rand = max(n_evals - n_have, 0)
     if n_rand > 0:
         u = np.asarray(jax.random.uniform(key, (n_rand, D)))
-        pts.append(plb + u * (pub - plb))
+        if init_design == "plausible":
+            pts.append(plb + u * (pub - plb))
+        elif init_design == "narrow":
+            xstart = pts[0][0] if pts and len(pts[0]) else 0.5 * (plb + pub)
+            Xr = xstart[None, :] + (u - 0.5) * 0.1 * (pub - plb)[None, :]
+            pts.append(np.clip(Xr, plb, pub))
+        else:
+            raise ValueError(f"Unknown initial design '{init_design}'.")
     X = np.concatenate(pts, axis=0)[:n_evals]
     for i, x in enumerate(X):
         if fv is not None and i < len(fv) and np.isfinite(fv[i]):

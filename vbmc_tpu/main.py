@@ -515,7 +515,8 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 k_as, logger, opt.fun_eval_start, plb_t, pub_t,
                 x0_cache=direct_np(trinfo, x0),
                 fvals_cache=np.asarray(opt.fvals, float)
-                if opt.fvals is not None else None)
+                if opt.fvals is not None else None,
+                init_design=opt.init_design)
             if cache_t is not None and len(cache_t):
                 # Keep the leftover cache in ORIGINAL space so it survives
                 # input warps (`activesample_vbmc.m:545-558` search cache).
@@ -573,6 +574,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     n_fast_opts=n_fast_i, n_slow_opts=1,
                     n_ent=opt.evalopt("ns_ent_active", K_i),
                     n_ent_fine=opt.evalopt("ns_ent_fine_active", K_i),
+                    n_ent_fast=opt.evalopt("ns_ent_fast_active", K_i),
                     prune=False,
                     host_seed=int(rng.integers(2 ** 31 - 1)))
                 return res_i.vp
@@ -782,6 +784,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             entropy_switch=state.entropy_switch, n_fast_opts=n_fast,
             n_slow_opts=1, n_ent=opt.evalopt("ns_ent_boost", K_boost),
             n_ent_fine=opt.evalopt("ns_ent_fine_boost", K_boost),
+            n_ent_fast=opt.evalopt("ns_ent_fast_boost", K_boost),
             prune=False, host_seed=int(rng.integers(2 ** 31 - 1)))
         vp = res_boost.vp
         elbo, elbo_sd = res_boost.elbo, res_boost.elbo_sd

@@ -221,6 +221,37 @@ class VBMCOptions:
         return o
 
 
+# Reference options whose mechanism was replaced by the TPU redesign: the
+# values are accepted (API parity) but not consulted. Each entry is
+# documented in PARITY.md with the replacing design.
+_FIXED_BY_DESIGN = (
+    "proposal_fcn",              # uncertainty-search hook: off-default path
+    "gp_train_init_method",      # design init: host-RNG uniform, always
+    "gp_tol_opt",                # L-BFGS runs as a fixed-length scan
+    "gp_tol_opt_mcmc",           # slice chains: fixed burn/thin schedule
+    "gp_tol_opt_active",
+    "gp_tol_opt_mcmc_active",
+    "cache_frac",                # initial design consumes the whole cache
+    "stochastic_optimizer",      # Adam (fminadam scan) always
+    "search_cmaes_best",         # CMA-ES returns the best-ever point
+    "weighted_hyp_cov",          # exponential run-weight hyp covariance
+    "tol_cov_weight",
+    "gp_hyp_sampler",            # parallel slice chains always
+    "cov_sample_thresh",         # no covsample fallback (slice suffices)
+    "det_ent_tol_opt",           # deterministic path: fixed-length L-BFGS
+    "annealed_gp_mean",          # experimental in the reference, off-default
+    "constrained_gp_mean",       # experimental in the reference
+    "separate_search_gp",        # experimental in the reference
+    "acq_hedge_iter_window",     # hedge uses exponential decay only
+    "active_variational_samples",  # experimental vpsample path (off)
+    "scale_lower_bound",
+    "variational_init_repo",     # experimental in the reference
+    "sample_extra_vp_means",     # experimental in the reference
+    "optimistic_variational_bound",
+    "active_importance_sampling_mcmc_thin",  # batched-MH refresh: no thin
+)
+
+
 def _evalopt(v: Union[int, float, Callable, None], arg):
     """Evaluate a numeric-or-callable option at ``arg``
     (cf. `misc/evaloption_vbmc.m`)."""
@@ -324,6 +355,22 @@ class ResolvedOptions:
 
         if not (1 <= self.temperature <= 4):
             raise ValueError("temperature must be an integer in 1..4")
+
+        # Options accepted for reference-API parity whose behavior is FIXED
+        # by design in this implementation (the TPU redesign replaces the
+        # mechanism they tune — e.g. sampler/optimizer selection, tolerance
+        # stops of fixed-length scan loops; see PARITY.md). Setting them to
+        # a non-default value warns instead of silently doing nothing.
+        defaults = {f.name: f.default for f in dataclasses.fields(u)}
+        changed = [n for n in _FIXED_BY_DESIGN
+                   if getattr(u, n) != defaults[n]]
+        if changed:
+            import warnings
+            warnings.warn(
+                "These options are accepted for reference parity but fixed "
+                f"by design in vbmc_tpu (no behavioral effect): {changed}. "
+                "See PARITY.md for the design rationale.",
+                stacklevel=3)
 
     def evalopt(self, name: str, arg):
         return _evalopt(getattr(self, name), arg)

@@ -201,7 +201,7 @@ def _full_eval(cfg, theta, gp, tmpl, flags, n_fine_per_k, key):
 def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
                K_new: int, options, *, warmup: bool, entropy_switch: bool,
                n_fast_opts: int, n_slow_opts: int,
-               n_ent=None, n_ent_fine=None,
+               n_ent=None, n_ent_fine=None, n_ent_fast=None,
                prune: bool = True,
                host_seed: Optional[int] = None) -> VPOptimResult:
     """Optimize the variational posterior to K_new components.
@@ -229,12 +229,19 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         n_ent = options.evalopt("ns_ent", K_new)
     if n_ent_fine is None:
         n_ent_fine = options.evalopt("ns_ent_fine", K_new)
+    if n_ent_fast is None:
+        n_ent_fast = options.evalopt("ns_ent_fast", K_new)
     ns_ent_k = _bucket_ent(int(math.ceil(n_ent / K_new)))
     if entropy_switch or K_new == 1:
         ns_ent_k = 0
     ns_fine_k = _bucket_ent(int(math.ceil(n_ent_fine / K_new)))
     if entropy_switch:
         ns_fine_k = 0
+    # Sieve entropy samples (`vpsieve_vbmc.m:23-33`, NSentFast; default 0
+    # => the sieve uses the deterministic entropy lower bound).
+    ns_fast_k = _bucket_ent(int(math.ceil(n_ent_fast / K_new)))
+    if entropy_switch or K_new == 1:
+        ns_fast_k = 0
 
     # HPD subset for candidate generation (host mirrors: no device pulls).
     from vbmc_tpu.gp.fit import get_hpd
@@ -304,8 +311,8 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         thetas = shard_rows(thetas)
         # Sieve uses the *fast* entropy (0 by default => deterministic bound).
         nelcbo = np.asarray(_sieve_eval(cfg, thetas, gp, tmpl_mu, tmpl_sigma,
-                                        tmpl_lam, tmpl_w, kmask, flags, 0,
-                                        key, bnd))
+                                        tmpl_lam, tmpl_w, kmask, flags,
+                                        ns_fast_k, key, bnd))
         nelcbo = np.where(np.isfinite(nelcbo), nelcbo, np.inf)
         order = np.argsort(nelcbo)
         # Host copy of the candidate thetas (cast to the device dtype so the
@@ -488,14 +495,19 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
 
 
 def vp_sample_theta(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
-                    n_samples: int, options, *, sampler: str = "mala",
+                    n_samples: int, options, *, sampler: Optional[str] = None,
                     scale_lower_bound: bool = True):
     """MCMC sampling of the variational parameters under the ELBO as a log
     density (cf. `misc/vpsample_vbmc.m`; experimental
     `active_variational_samples` path). Returns an updated VP drawn from the
-    chain end."""
+    chain end. ``sampler`` defaults to ``options.variational_sampler``."""
     from vbmc_tpu.samplers.mala import mala_sample
     from vbmc_tpu.samplers.slice import slice_sample_chain
+
+    if sampler is None:
+        sampler = {"malasample": "mala", "mala": "mala",
+                   "slicesample": "slice", "slice": "slice"}.get(
+            getattr(options, "variational_sampler", "malasample"), "mala")
 
     K_max = vp.k_max
     D = vp.D
