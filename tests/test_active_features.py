@@ -232,3 +232,28 @@ def test_coarse_padding_is_exact():
     assert nll_128 == pytest.approx(nll_32, rel=1e-10)
     np.testing.assert_allclose(f_128, f_32, rtol=1e-10)
     np.testing.assert_allclose(v_128, v_32, rtol=1e-10)
+
+
+def test_function_logger_rejects_nonscalar_returns():
+    """A non-scalar target return must raise, not be silently truncated to
+    its first element (`funlogger_vbmc.m:87-89`) — a (fval, sd) pair here
+    means the user forgot specify_target_noise=True."""
+    from vbmc_tpu.function_logger import FunctionLogger
+    from vbmc_tpu.transforms import create_trinfo
+
+    D = 2
+    ti = create_trinfo([-10.0] * D, [10.0] * D, [-3.0] * D, [3.0] * D)
+    logger = FunctionLogger(lambda x: np.zeros(2), D, ti)
+    with pytest.raises(ValueError, match="non-scalar"):
+        logger.evaluate(np.zeros(D))
+    # Scalar-like returns (0-d arrays, length-1 arrays, python floats) pass.
+    for fun in (lambda x: np.float64(-1.0), lambda x: np.array(-1.0),
+                lambda x: np.array([-1.0]), lambda x: -1.0):
+        logger2 = FunctionLogger(fun, D, ti)
+        y, _ = logger2.evaluate(np.zeros(D))
+        assert np.isfinite(y)
+    # The noisy (fval, sd) tuple path is unaffected.
+    logger3 = FunctionLogger(lambda x: (-1.0, 0.5), D, ti,
+                             uncertainty_level=2)
+    y, _ = logger3.evaluate(np.zeros(D))
+    assert np.isfinite(y)

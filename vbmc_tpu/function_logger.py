@@ -83,8 +83,17 @@ class FunctionLogger:
             fval_orig, fsd = float(out[0]), float(out[1])
         else:
             out = self.fun(x_orig)
-            fval_orig = float(np.asarray(out).ravel()[0]) \
-                if np.ndim(out) else float(out)
+            arr = np.asarray(out)
+            if arr.size != 1:
+                # `funlogger_vbmc.m:87-89`: non-scalar returns are an error,
+                # not silently truncated (a (fval, sd) pair here means the
+                # user forgot specify_target_noise=True).
+                raise ValueError(
+                    f"Target function returned a non-scalar of shape "
+                    f"{arr.shape} at {x_orig}; it must return a finite real "
+                    f"scalar. (Noisy targets returning (fval, sd) need "
+                    f"specify_target_noise=True.)")
+            fval_orig = float(arr.ravel()[0])
             fsd = 1.0 if self.noise_flag else None
         dt = time.monotonic() - t0
 
