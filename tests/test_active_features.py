@@ -257,3 +257,16 @@ def test_function_logger_rejects_nonscalar_returns():
                              uncertainty_level=2)
     y, _ = logger3.evaluate(np.zeros(D))
     assert np.isfinite(y)
+
+
+def test_function_logger_noisy_requires_pair():
+    """specify_target_noise=True with a scalar-returning target raises a
+    clear ValueError, not a TypeError from tuple indexing."""
+    from vbmc_tpu.function_logger import FunctionLogger
+    from vbmc_tpu.transforms import create_trinfo
+
+    D = 2
+    ti = create_trinfo([-10.0] * D, [10.0] * D, [-3.0] * D, [3.0] * D)
+    logger = FunctionLogger(lambda x: -1.0, D, ti, uncertainty_level=2)
+    with pytest.raises(ValueError, match="must return"):
+        logger.evaluate(np.zeros(D))

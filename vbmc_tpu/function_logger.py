@@ -80,7 +80,14 @@ class FunctionLogger:
         t0 = time.monotonic()
         if self.uncertainty_level == 2:
             out = self.fun(x_orig)
-            fval_orig, fsd = float(out[0]), float(out[1])
+            # `funlogger_vbmc.m` (uncertainty-handling branch): the target
+            # must return the pair (fval, noise_sd).
+            try:
+                fval_orig, fsd = float(out[0]), float(out[1])
+            except (TypeError, IndexError):
+                raise ValueError(
+                    f"With specify_target_noise=True the target must return "
+                    f"(fval, noise_sd); got {out!r} at {x_orig}.") from None
         else:
             out = self.fun(x_orig)
             arr = np.asarray(out)
