@@ -7,12 +7,16 @@ runs x 100 evaluations on an i7-9750H under MATLAB) and prints ONE JSON line:
     {"metric": "selftest_speedup", "value": ..., "unit": "x", "vs_baseline": ...}
 
 value = (MATLAB baseline seconds, scaled to the blocks run here) / (our
-wall-clock seconds). Wall-clock includes everything except a small warm-up
-run that triggers jit compilation (the reference number also excludes
-MATLAB's own JIT/startup; compilation caches persist across runs in
-production use).
+WARM wall-clock seconds). Warm-up is a full same-seed pass of every block
+(on accelerators), so the timed pass retraces fully compiled trajectories —
+the compile-exclusion mirrors the baseline's exclusion of MATLAB's own
+JIT/startup, and production deployments amortize the same compiles through
+the persistent XLA cache. The JSON detail reports the warm-up seconds AND
+the cold-cache numbers (cold_total_s = warmup_s + elapsed_s,
+cold_speedup) so both stories are visible.
 
-Env knobs: VBMC_BENCH_X64=1 forces float64; VBMC_BENCH_BLOCKS limits blocks.
+Env knobs: VBMC_BENCH_X64=1 forces float64; VBMC_BENCH_BLOCKS limits blocks;
+VBMC_BENCH_SEEDS=n adds an n-seed statistical acceptance sweep.
 """
 
 import json
@@ -91,13 +95,19 @@ def _blocks():
                        noisy=False))
 
     # 5) D=2 noisy half-normal (sigma=1 additive noise, runtest:59-67).
-    noise_rng = np.random.default_rng(1)
+    # The noise rng is created PER RUN from the run seed (make_fun) so a
+    # warm-up run with the measured seed follows the identical trajectory —
+    # a shared closure rng would advance during warm-up and change the
+    # measured run's noise stream (and hence its compiled-bucket coverage).
+    def make_noisy(seed, sd=sd2):
+        nr = np.random.default_rng(1000 + seed)
 
-    def halfnorm_noisy(x, sd=sd2):
-        y = (-0.5 * np.sum((x / sd) ** 2)
-             - np.log(2 * np.pi) - np.sum(np.log(sd)))
-        return float(y + noise_rng.standard_normal()), 1.0
-    blocks.append(dict(name="halfnorm2_noisy", fun=halfnorm_noisy, D=2,
+        def halfnorm_noisy(x):
+            y = (-0.5 * np.sum((x / sd) ** 2)
+                 - np.log(2 * np.pi) - np.sum(np.log(sd)))
+            return float(y + nr.standard_normal()), 1.0
+        return halfnorm_noisy
+    blocks.append(dict(name="halfnorm2_noisy", make_fun=make_noisy, D=2,
                        lnz=float(np.log(0.25)),
                        mean=sd2 * np.sqrt(2 / np.pi),
                        x0=np.array([0.5, 0.5]), lb=np.zeros(2),
@@ -139,7 +149,8 @@ def run_block(blk, seed, max_fun_evals=100):
                            specify_target_noise=blk["noisy"],
                            output_fcn=_progress if os.environ.get(
                                "VBMC_BENCH_PROGRESS", "1") == "1" else None)
-        res = vbmc(blk["fun"], x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
+        fun = blk["make_fun"](seed) if "make_fun" in blk else blk["fun"]
+        res = vbmc(fun, x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
                    plb=blk["plb"], pub=blk["pub"], options=opts)
         mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
         err_elbo = abs(res.elbo - blk["lnz"])
@@ -186,12 +197,26 @@ def run_stress_block(seed=7, max_fun_evals=300):
     mean, _ = vp_moments(res.vp, orig_flag=True, n_samples=10 ** 5)
     err_elbo = abs(res.elbo - 0.0)
     rmse = float(np.sqrt(np.mean(np.asarray(mean) ** 2)))
-    return dict(elapsed_s=round(elapsed, 1), iters=res.iterations,
-                s_per_iter=round(elapsed / max(res.iterations, 1), 2),
-                func_count=res.func_count,
-                elbo_err=round(float(err_elbo), 3), rmse=round(rmse, 3),
-                ok=bool(err_elbo < 1.0 and rmse < 0.5),
-                K=int(np.sum(np.asarray(res.vp_train.kmask))))
+    out = dict(elapsed_s=round(elapsed, 1), iters=res.iterations,
+               s_per_iter=round(elapsed / max(res.iterations, 1), 2),
+               func_count=res.func_count,
+               elbo_err=round(float(err_elbo), 3), rmse=round(rmse, 3),
+               ok=bool(err_elbo < 1.0 and rmse < 0.5),
+               K=int(np.sum(np.asarray(res.vp_train.kmask))))
+    # Per-iteration speedup vs the documented D=10 reference baseline
+    # (BASELINE_D10.json, produced by tools/baseline_d10.py — a NumPy
+    # transliteration of the reference's per-iteration hot loop with
+    # operation counts cited from the reference source; see BASELINE.md).
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_D10.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        out["baseline_s_per_iter"] = base.get("s_per_iter")
+        if base.get("s_per_iter"):
+            out["speedup_d10"] = round(base["s_per_iter"]
+                                       / out["s_per_iter"], 2)
+    return out
 
 
 def main():
@@ -199,15 +224,18 @@ def main():
     n_blocks = int(os.environ.get("VBMC_BENCH_BLOCKS", len(blocks)))
     blocks = blocks[:n_blocks]
 
-    # Warm-up: a FULL-CONFIG run of every block with the SAME seed as its
-    # measured run, so the exact trajectory the timed pass retraces — warmup
-    # end, input warps, every K/N/NS bucket crossing, pruning, the noisy
-    # full-update path, final boost — is compiled (and persisted in the XLA
-    # compile cache) before timing starts. Seed-99 warm-ups left bucket
-    # variants the measured seeds cross uncompiled, injecting 30–120 s
-    # compile stalls into the timed pass on cold-cache machines. Mirrors the
-    # baseline's exclusion of MATLAB's own JIT/startup; production
-    # deployments amortize the same compiles through the persistent cache.
+    # Warm-up (accelerator path): a FULL-CONFIG run of every block with the
+    # SAME seed as its measured run, so the exact trajectory the timed pass
+    # retraces — warmup end, input warps, every K/N/NS bucket crossing,
+    # pruning, the noisy full-update path, final boost — is compiled (and
+    # persisted in the XLA compile cache) before timing starts. Seed-99
+    # warm-ups left bucket variants the measured seeds cross uncompiled,
+    # injecting 30–120 s compile stalls into the timed pass on cold-cache
+    # machines. Mirrors the baseline's exclusion of MATLAB's own
+    # JIT/startup; production deployments amortize the same compiles through
+    # the persistent cache. On CPU (cheap local compiles, compute-bound
+    # blocks) only one small warm-up run is done instead — a full same-seed
+    # pass would double the suite's CPU time for little compile benefit.
     # VBMC_BENCH_WARM_EVALS shrinks the warm-up runs.
     t_warm = time.monotonic()
     par_warm = os.environ.get("VBMC_BENCH_PARALLEL", "auto") != "0" and \
@@ -261,6 +289,9 @@ def main():
     detail = {
         "elapsed_s": round(elapsed, 1),
         "warmup_s": round(warm_s, 1),
+        # Cold-cache story: a first-ever run pays the compiles too.
+        "cold_total_s": round(warm_s + elapsed, 1),
+        "cold_speedup": round(baseline_scaled / (warm_s + elapsed), 3),
         "blocks": len(results),
         "accuracy_passed": n_ok,
         "baseline_s_scaled": round(baseline_scaled, 1),
@@ -275,6 +306,41 @@ def main():
             print(f"# stress_d10: {detail['stress_d10']}", file=sys.stderr)
         except Exception as e:
             detail["stress_d10"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # Multi-seed statistical acceptance (SURVEY §7: validation must be
+    # statistical over seeds, not single-trajectory): n extra seeds per
+    # block, all runs concurrent, accuracy-only (not timed).
+    n_seeds = int(os.environ.get("VBMC_BENCH_SEEDS",
+                                 "5" if jax.default_backend() != "cpu"
+                                 else "0"))
+    if n_seeds > 0:
+        print(f"# >> seed sweep start ({n_seeds} seeds x {len(blocks)} "
+              f"blocks)", file=sys.stderr, flush=True)
+        t_seeds = time.monotonic()
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = [(blk, 101 + 13 * s + i)
+                for s in range(n_seeds)
+                for i, blk in enumerate(blocks)]
+        with ThreadPoolExecutor(max_workers=min(len(jobs), 12)) as ex:
+            sweep = list(ex.map(lambda j: run_block(j[0], seed=j[1]), jobs))
+        n_pass = sum(r["ok"] for r in sweep)
+        per_block = {}
+        for r in sweep:
+            per_block.setdefault(r["name"], [0, 0])
+            per_block[r["name"]][1] += 1
+            per_block[r["name"]][0] += int(r["ok"])
+        worst_elbo = max((r["elbo_err"] for r in sweep
+                          if np.isfinite(r["elbo_err"])), default=float("nan"))
+        worst_rmse = max((r["rmse"] for r in sweep
+                          if np.isfinite(r["rmse"])), default=float("nan"))
+        detail["seeds"] = {
+            "runs": len(sweep), "passed": n_pass,
+            "per_block": {k: f"{v[0]}/{v[1]}" for k, v in per_block.items()},
+            "worst_elbo_err": round(worst_elbo, 3),
+            "worst_rmse": round(worst_rmse, 3),
+            "elapsed_s": round(time.monotonic() - t_seeds, 1),
+        }
+        print(f"# seeds: {detail['seeds']}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "selftest_speedup",

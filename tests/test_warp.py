@@ -76,7 +76,6 @@ def test_remap_search_box(rng):
                              scale=jnp.asarray([1.5, 0.5]))
     lb = np.array([-3.0, -2.0])
     ub = np.array([3.0, 2.0])
-    lb2, ub2 = wp.remap_search_box(ti_old, ti_new, lb, ub,
-                                   jax.random.PRNGKey(0))
+    lb2, ub2 = wp.remap_search_box(ti_old, ti_new, lb, ub, seed=0)
     assert np.all(np.isfinite(lb2)) and np.all(np.isfinite(ub2))
     assert np.all(ub2 > lb2)

@@ -95,7 +95,8 @@ def _mixture_draw(key, vp: VariationalPosterior, lo, hi, n_each: int,
     for i, sc in enumerate(scales):
         vp_s = vp._replace(sigma=vp.sigma * sc)
         parts.append(vp_rnd(vp_s, jax.random.fold_in(k1, i), n_each,
-                            orig_flag=False, balance_flag=True))
+                            orig_flag=False, balance_flag=True,
+                            permute=False))
     u = jax.random.uniform(k2, (max(n_box, 1), D), dtype=dtype)
     parts.append(lo + u * (hi - lo))
     Xa = jnp.concatenate(parts, axis=0)

@@ -226,7 +226,7 @@ def get_search_points(key, n_search: int, vp: VariationalPosterior,
     if n_vp > 0:
         k1, key = jax.random.split(key)
         parts.append(np.asarray(vp_rnd(vp, k1, n_vp, orig_flag=False,
-                                       balance_flag=True)))
+                                       balance_flag=True, permute=False)))
     X = np.concatenate(parts, axis=0)[:n_search]
     return np.clip(X, sb.lb, sb.ub)
 
@@ -292,7 +292,7 @@ def _gen_candidates(key, vp, gp, sb_lb, sb_ub, n_search: int, n_heavy: int,
     n_vp = n_search - sum(p.shape[0] for p in parts)
     if n_vp > 0:
         parts.append(vp_rnd(vp, k_v, n_vp, orig_flag=False,
-                            balance_flag=True))
+                            balance_flag=True, permute=False))
     Xs = jnp.clip(jnp.concatenate(parts, axis=0)[:n_search],
                   sb_lb[None, :], sb_ub[None, :])
     return Xs, cov_t
@@ -400,18 +400,19 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                   vp: VariationalPosterior, gp: Optional[GP],
                   sb: SearchBounds, options, *, acq_name: str,
                   tol_gp_var: float, var_log_joint=None,
-                  full_update: bool = False, retrain_gp=None,
-                  refit_vp=None, fess_thresh: float = 1.0,
+                  full_update: bool = False, quick_updater=None,
+                  fess_thresh: float = 1.0,
                   optim_state=None, search_cache: Optional[np.ndarray] = None):
     """Acquire ``n_points`` new evaluations; returns (gp, vp).
 
     ``gp`` must be trained (call `initial_design` when there is none).
     When ``full_update`` is set (noisy targets near warmup end / unstable
     runs, cf. `activesample_vbmc.m:46-76, 429-473`), the provided
-    ``retrain_gp(logger)`` / ``refit_vp(vp, gp)`` callbacks re-train the GP
-    hyperparameters and re-fit the VP after each acquisition, gated on the
-    fractional effective sample size. ``optim_state`` carries the
-    repeated-observation streak for noisy targets."""
+    ``quick_updater(key, logger, gp, vp) -> (gp, vp, gls)`` re-trains the GP
+    hyperparameters and re-fits the VP after each acquisition as ONE fused
+    device program (`quick_update.py`), gated on the fractional effective
+    sample size. ``optim_state`` carries the repeated-observation streak
+    for noisy targets."""
     D = vp.D
     dtype = gp.X.dtype
     use_is = ACQ_INFO[acq_name]["importance_sampling"]
@@ -444,6 +445,7 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
     smooth = delta_sm is not None
     delta_dev = (jnp.asarray(delta_sm, dtype=dtype) if smooth
                  else jnp.zeros(D, dtype=dtype))
+    vp_updated = False
 
     for i in range(n_points):
         # Fused paths derive per-point keys IN-TRACE from (key, salt=i);
@@ -650,30 +652,37 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                  float(np.sqrt(max(float(np.asarray(vtot_q)[0]), 0.0)))))
 
         if i < n_points - 1:
-            if full_update and (retrain_gp is not None
-                                or refit_vp is not None):
-                gp_tmp = gp_reupdate(cfg, gp, logger)
+            if full_update and quick_updater is not None:
+                do_update = True
                 if fess_thresh < 1.0:
+                    # fESS gate (`activesample_vbmc.m:436-445`): skip the
+                    # expensive retrain/refit while the VP still matches the
+                    # refreshed GP well enough.
+                    gp_tmp = gp_reupdate(cfg, gp, logger)
                     from vbmc_tpu.vpoptim import fractional_ess
                     fess = fractional_ess(jax.random.fold_in(key, 9000 + i),
                                           cfg, vp, gp_tmp, 100)
-                else:
-                    fess = 0.0
-                if fess <= fess_thresh:
-                    gp = retrain_gp(logger, gp) if retrain_gp is not None \
-                        else gp_tmp
-                    if retrain_gp is not None:
-                        # Hyperparameters changed: refresh the hoisted
-                        # length-scale constant.
-                        gls_dev = jnp.asarray(
-                            _geomean_length_scale(cfg, gp), dtype=dtype)
-                    if refit_vp is not None:
-                        vp = refit_vp(vp, gp)
-                        insigma_cache = None
-                else:
-                    gp = gp_tmp
+                    do_update = fess <= fess_thresh
+                    if not do_update:
+                        gp = gp_tmp
+                if do_update:
+                    # One fused async program; no blocking pull. The updated
+                    # GP/VP/length-scale device arrays feed the next
+                    # proposal directly.
+                    gp, vp, gls_dev = quick_updater(key, logger, gp, vp)
+                    vp_updated = True
+                    insigma_cache = None
             else:
                 gp = gp_reupdate(cfg, gp, logger)
+
+    if vp_updated:
+        # The fused updates return device-only VP arrays; downstream host
+        # code (candidate generation, stats) reads them via to_np. ONE
+        # batched pull registers the mirrors.
+        from vbmc_tpu.utils.hostcache import register
+        vals = jax.device_get((vp.mu, vp.sigma, vp.lam, vp.w, vp.eta))
+        for dev, host in zip((vp.mu, vp.sigma, vp.lam, vp.w, vp.eta), vals):
+            register(dev, np.asarray(host))
 
     return gp_reupdate(cfg, gp, logger), vp
 

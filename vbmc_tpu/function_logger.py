@@ -100,6 +100,12 @@ class FunctionLogger:
                     f"{arr.shape} at {x_orig}; it must return a finite real "
                     f"scalar. (Noisy targets returning (fval, sd) need "
                     f"specify_target_noise=True.)")
+            if not np.isrealobj(arr):
+                # `funlogger_vbmc.m:119-123` rejects non-real returns
+                # (~isreal) with a clear error, not a bare TypeError.
+                raise ValueError(
+                    f"Target function returned a non-real value {out!r} at "
+                    f"{x_orig}; it must return a finite real scalar.")
             fval_orig = float(arr.ravel()[0])
             fsd = 1.0 if self.noise_flag else None
         dt = time.monotonic() - t0

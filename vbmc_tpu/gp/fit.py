@@ -248,6 +248,16 @@ def _map_sample_assemble(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
     ``ns`` is a DEVICE scalar so the Ns schedule (`gptrain_vbmc.m:314-343`)
     never forces a recompile; the chain key is folded from ``key``
     in-trace (no eager split on the host)."""
+    return map_sample_assemble_core(cfg, key, x0s_map, eps_or_cs, widths,
+                                    prior, X, y, s2, mask, ns, burn, thin,
+                                    n_keep_max, warm, maxiter)
+
+
+def map_sample_assemble_core(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
+                             prior, X, y, s2, mask, ns, burn, thin,
+                             n_keep_max: int, warm: bool, maxiter: int):
+    """Traceable body of `_map_sample_assemble` (also inlined by the fused
+    per-point quick-update program, `quick_update.py`)."""
     key = jax.random.fold_in(key, 2)
     def obj(h):
         nll = (core.neg_log_marginal_likelihood(cfg, h, X, y, s2, mask)

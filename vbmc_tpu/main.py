@@ -68,7 +68,11 @@ class VBMCResult:
 
 
 def bounds_check(x0, lb, ub, plb, pub, D):
-    """Validate/repair bounds (cf. `misc/boundscheck_vbmc.m`)."""
+    """Validate/repair bounds (cf. `misc/boundscheck_vbmc.m:12-142`):
+    error on x0 outside the hard bounds, nudge on-bound x0 strictly inside
+    the effective bounds, expand PLB/PUB to cover outlying x0."""
+    import warnings
+
     def broadcast(v, default):
         if v is None:
             return np.full(D, default, dtype=float)
@@ -98,26 +102,67 @@ def bounds_check(x0, lb, ub, plb, pub, D):
     plb = broadcast(plb, np.nan)
     pub = broadcast(pub, np.nan)
 
-    # Plausible bounds strictly inside hard bounds.
-    both = np.isfinite(lb) & np.isfinite(ub)
-    width = np.where(both, ub - lb, np.inf)
-    eps_b = 1e-3 * np.where(np.isfinite(width), width, 1.0)
-    fix = both & (plb <= lb)
-    plb[fix] = lb[fix] + eps_b[fix]
-    fix = both & (pub >= ub)
-    pub[fix] = ub[fix] - eps_b[fix]
-
-    if not np.all((lb <= plb) & (plb < pub) & (pub <= ub)):
-        raise ValueError("Bounds must satisfy LB <= PLB < PUB <= UB.")
     half = (np.isfinite(lb) ^ np.isfinite(ub))
     if np.any(half):
         raise ValueError(
             "Variables bounded only on one side are not supported; use a "
             "transformed parameterization or provide both bounds.")
 
-    if x0 is not None:
-        x0 = np.clip(x0, plb - 1e9 * 0 + np.where(np.isfinite(lb), lb, -np.inf),
-                     np.where(np.isfinite(ub), ub, np.inf))
+    # x0 strictly inside the hard bounds is a hard error
+    # (`boundscheck_vbmc.m:76-79`).
+    if x0 is not None and (np.any(x0 < lb[None, :]) or
+                           np.any(x0 > ub[None, :])):
+        raise ValueError(
+            "The starting points x0 are not inside the provided hard "
+            "bounds LB and UB.")
+
+    # Effective bounds slightly inside the hard bounds (`:82-92`); bounds
+    # near zero use the absolute scale factor.
+    rng_b = ub - lb
+    rng_b = np.where(np.isinf(rng_b), 1e3, rng_b)
+    sf = 1e-3
+    lb_eff = np.where(np.abs(lb) <= np.finfo(float).tiny, sf * rng_b,
+                      lb + sf * rng_b)
+    ub_eff = np.where(np.abs(ub) <= np.finfo(float).tiny, -sf * rng_b,
+                      ub - sf * rng_b)
+    lb_eff = np.where(np.isinf(lb), lb, lb_eff)
+    ub_eff = np.where(np.isinf(ub), ub, ub_eff)
+    if np.any(lb_eff >= ub_eff):
+        raise ValueError(
+            "Hard bounds LB and UB are numerically too close; make them "
+            "more separate.")
+
+    # x0 on (or numerically too close to) the hard bounds: move inside
+    # with a warning (`:98-103`).
+    if x0 is not None and (np.any(x0 <= lb_eff[None, :]) or
+                           np.any(x0 >= ub_eff[None, :])):
+        warnings.warn(
+            "The starting points x0 are on or numerically too close to the "
+            "hard bounds LB and UB; moving the initial points inside.")
+        x0 = np.clip(x0, lb_eff, ub_eff)
+
+    if not np.all((lb <= plb) & (plb < pub) & (pub <= ub)):
+        raise ValueError("Bounds must satisfy LB <= PLB < PUB <= UB.")
+
+    # Plausible bounds reasonably separated from hard bounds (`:115-119`).
+    if np.any(plb <= lb_eff) or np.any(pub >= ub_eff):
+        warnings.warn(
+            "Hard and plausible bounds should not be too close; moving "
+            "the plausible bounds.")
+        plb = np.maximum(plb, lb_eff)
+        pub = np.minimum(pub, ub_eff)
+
+    # Expand plausible bounds to cover outlying x0 (`:121-127`).
+    if x0 is not None and (np.any(x0 <= plb[None, :]) or
+                           np.any(x0 >= pub[None, :])):
+        warnings.warn(
+            "The starting points x0 are not inside the provided plausible "
+            "bounds PLB and PUB; expanding the plausible bounds.")
+        plb = np.minimum(plb, np.min(x0, axis=0))
+        pub = np.maximum(pub, np.max(x0, axis=0))
+
+    if not np.all((lb <= plb) & (plb < pub) & (pub <= ub)):
+        raise ValueError("Bounds must satisfy LB <= PLB < PUB <= UB.")
     return x0, lb, ub, plb, pub
 
 
@@ -303,6 +348,30 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         raise ValueError("Provide x0, or plausible bounds PLB and PUB.")
 
     opt = options.resolve(D)
+    # Validate enum-like options up front with clear errors (the reference's
+    # unsupported gplite families fail with a named error,
+    # `gplite_meanfun.m:112-117`; see PARITY.md §2.5 for the supported set).
+    if opt.gp_mean_fun not in _MEANFUN_IDS:
+        raise ValueError(
+            f"gp_mean_fun={opt.gp_mean_fun!r} is not supported; choose one "
+            f"of {sorted(_MEANFUN_IDS)}. (The reference's fixed-center "
+            f"variants are intentionally not implemented; see PARITY.md.)")
+    if opt.bounded_transform not in _TRANSFORM_IDS:
+        raise ValueError(
+            f"bounded_transform={opt.bounded_transform!r} is not supported; "
+            f"choose one of {sorted(_TRANSFORM_IDS)}.")
+    if opt.fitness_shaping and opt.gp_out_warp_fun not in _OUTWARP_IDS:
+        raise ValueError(
+            f"gp_out_warp_fun={opt.gp_out_warp_fun!r} is not supported; "
+            f"choose one of {sorted(_OUTWARP_IDS)}.")
+    try:
+        for a in (opt.search_acq_fcn or ()):
+            _canonical_acq(a)
+    except KeyError as e:
+        raise ValueError(
+            f"search_acq_fcn entry {e.args[0]!r} is not a known acquisition "
+            f"function (known: prospective, prospective_sn2, "
+            f"prospective_log, us, eig, viqr, imiqr).") from None
     x0, lb, ub, plb, pub = bounds_check(x0, lb, ub, plb, pub, D)
     if x0 is None or not np.all(np.isfinite(x0)):
         x0 = 0.5 * (plb + pub)[None, :]
@@ -374,7 +443,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         from vbmc_tpu.hedge import AcqHedge
         hedge = AcqHedge(names=list(acq_names), decay=opt.acq_hedge_decay)
     timers = dict(active_sampling=0.0, gp_train=0.0, variational_fit=0.0,
-                  finalize=0.0)
+                  finalize=0.0, warping=0.0)
     timers_prev = dict(timers)
     is_finished = False
     exitflag = 0
@@ -412,6 +481,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                    and state.vp_K >= opt.warp_min_k
                    and stats.last.rindex < opt.warp_tol_reliability)
         if do_warp:
+            t_warp = time.monotonic()
             from vbmc_tpu import warp as warp_mod
             idx_b = st.best_iteration(stats, safe_sd=opt.best_safe_sd,
                                       frac_back=opt.best_frac_back,
@@ -431,9 +501,9 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             trinfo_new = warp_mod.compute_rotoscale(
                 vp_for_warp, corr_thresh=opt.warp_roto_corr_thresh,
                 cov_reg=opt.warp_cov_reg)
-            k_w = ks()
+            seed_w = int(rng.integers(2 ** 31 - 1))
             plb_t, pub_t = warp_mod.update_plausible_bounds(
-                trinfo_new, plb, pub, k_w)
+                trinfo_new, plb, pub, seed_w)
             # Hard bounds cannot be pushed through a rotation (inf * 0);
             # the transformed space is unbounded, and the hard-bound check
             # happens in original coordinates (`warp_input_vbmc.m:132-148`:
@@ -441,8 +511,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             lb_t_new = np.full(D, -np.inf)
             ub_t_new = np.full(D, np.inf)
             sb_lb_new, sb_ub_new = warp_mod.remap_search_box(
-                trinfo_old_warp, trinfo_new, sb.lb, sb.ub,
-                jax.random.fold_in(k_w, 1))
+                trinfo_old_warp, trinfo_new, sb.lb, sb.ub, seed_w + 1)
             logger.retransform(trinfo_new)
             vp, hyp_warped = warp_mod.warp_gp_and_vp(
                 trinfo_new, vp, gp, cfg, temperature=opt.temperature)
@@ -504,6 +573,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                     state.vp_K = int(np.sum(to_np(vp.kmask)))
                     hyp_warm = gpinfo_w["hyp_full"]
                     state.recompute_var_post = True
+            timers["warping"] += time.monotonic() - t_warp
 
         # ------------------------------------------------ active sampling
         t = time.monotonic()
@@ -537,54 +607,31 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                      <= state.last_warmup
                      or rindex_prev > opt.active_sample_full_update_threshold))
 
-            def _retrain_gp(lgr, gp_prev=None):
-                k_gp_i = ks()
-                topts_i = _gp_train_options(state, stats, opt, lgr,
+            quick_updater = None
+            if full_update and (opt.active_sample_gp_update
+                                or opt.active_sample_vp_update):
+                # In-iteration quick updates (the reference's options_update
+                # with looser active tolerances, `activesample_vbmc.m:59-63`):
+                # the posterior moved by ONE datapoint, so GP chains
+                # warm-start at the previous hyperparameter samples with a
+                # short burn-in and the whole retrain+refit runs as one
+                # fused device program (`quick_update.py`).
+                from vbmc_tpu.quick_update import QuickUpdater
+                topts_q = _gp_train_options(state, stats, opt, logger,
                                             uncertainty_level)
-                if gp_prev is not None:
-                    # In-iteration quick retrain (the reference's
-                    # options_update with looser active tolerances,
-                    # `activesample_vbmc.m:59-63`): the posterior moved by
-                    # ONE datapoint, so chains warm-start at the previous
-                    # hyperparameter samples with a short burn-in, the init
-                    # design is skipped, and the MAP polish is shortened.
-                    hyp_prev = np.asarray(to_np(gp_prev.hyp))[
-                        np.asarray(to_np(gp_prev.hyp_mask), bool)]
-                    topts_i = dataclasses.replace(
-                        topts_i, ninit=0, nopts=1,
-                        lbfgs_iters=min(topts_i.lbfgs_iters, 30),
-                        burnin=topts_i.thin * 3,
-                        chain_starts=hyp_prev)
-                X_i, y_i, s2_i = lgr.training_data(
+                quick_updater = QuickUpdater(
+                    cfg, opt, topts_q, plb_t, pub_t, warmup=state.warmup,
+                    entropy_switch=state.entropy_switch, K=state.vp_K,
+                    do_gp=bool(opt.active_sample_gp_update),
+                    do_vp=bool(opt.active_sample_vp_update),
                     noise_shaping=_noise_shaping if opt.noise_shaping
-                    else None, options=opt)
-                gp_i, _ = train_gp(k_gp_i, cfg, X_i, y_i, s2_i, plb_t, pub_t,
-                                   topts_i, hyp0=hyp_warm,
-                                   host_seed=int(rng.integers(2 ** 31 - 1)))
-                return gp_i
-
-            def _refit_vp(vp_i, gp_i):
-                k_vp_i = ks()
-                K_i = int(np.sum(to_np(vp_i.kmask)))
-                n_fast_i = int(math.ceil(
-                    opt.ns_elbo_incr * opt.evalopt("ns_elbo", K_i)))
-                res_i = vpoptimize(
-                    k_vp_i, cfg, vp_i, gp_i, K_i, opt, warmup=state.warmup,
-                    entropy_switch=state.entropy_switch,
-                    n_fast_opts=n_fast_i, n_slow_opts=1,
-                    n_ent=opt.evalopt("ns_ent_active", K_i),
-                    n_ent_fine=opt.evalopt("ns_ent_fine_active", K_i),
-                    n_ent_fast=opt.evalopt("ns_ent_fast_active", K_i),
-                    prune=False,
-                    host_seed=int(rng.integers(2 ** 31 - 1)))
-                return res_i.vp
+                    else None)
 
             gp, vp = active_sample(
                 k_as, cfg, logger, opt.fun_evals_per_iter, vp, gp, sb, opt,
                 acq_name=acq_name, tol_gp_var=opt.tol_gp_var,
                 full_update=full_update,
-                retrain_gp=_retrain_gp if opt.active_sample_gp_update else None,
-                refit_vp=_refit_vp if opt.active_sample_vp_update else None,
+                quick_updater=quick_updater,
                 fess_thresh=opt.active_sample_fess_thresh,
                 optim_state=state,
                 search_cache=(direct_np(logger.trinfo, search_cache)
@@ -692,7 +739,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             gp_hyp_full=gpinfo["hyp_full"], gp_ns=gpinfo["ns_samples"],
             timer={k: round(timers[k] - timers_prev.get(k, 0.0), 4)
                    for k in ("active_sampling", "gp_train",
-                             "variational_fit", "finalize")}))
+                             "variational_fit", "finalize", "warping")}))
         timers_prev = dict(timers)
         # Algorithmic-cost model (`activesample_vbmc.m:185-204`): recorded
         # per iteration; consumed by the repeated-observation logic.

@@ -48,9 +48,12 @@ def load_vp(path: str):
         ub_orig=jnp.asarray(data["tr_ub"], dtype=dtype),
         mu=jnp.asarray(data["tr_mu"], dtype=dtype),
         delta=jnp.asarray(data["tr_delta"], dtype=dtype),
-        R_mat=jnp.asarray(data["tr_R"], dtype=dtype) if "tr_R" in data else None,
+        # Identity rotoscale when absent: the pytree structure must match
+        # freshly-created trinfos (kernel-cache stability; see transforms).
+        R_mat=jnp.asarray(data["tr_R"], dtype=dtype) if "tr_R" in data
+        else jnp.eye(int(np.asarray(data["tr_type"]).shape[0]), dtype=dtype),
         scale=jnp.asarray(data["tr_scale"], dtype=dtype) if "tr_scale" in data
-        else None,
+        else jnp.ones(int(np.asarray(data["tr_type"]).shape[0]), dtype=dtype),
     )
     vp = VariationalPosterior(
         w=jnp.asarray(data["w"], dtype=dtype),

@@ -107,12 +107,19 @@ def create_trinfo(lb, ub, plb=None, pub=None, bounded_type: int = LOGIT,
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
 
     from vbmc_tpu.utils.hostcache import device_put_cached as _dpc
+    # R_mat/scale are ALWAYS present (identity until an input warp installs
+    # a real rotoscale): a None -> array flip would change the pytree
+    # STRUCTURE of every vp/trinfo argument, recompiling the entire jitted
+    # kernel universe at the first warp (measured: the single biggest
+    # cold-start cost on TPU). The identity matmul is negligible at D <= 20.
     base = Trinfo(
         type=_dpc(types),
         lb_orig=_dpc(lb, dtype=dtype),
         ub_orig=_dpc(ub, dtype=dtype),
         mu=_dpc(np.zeros(D), dtype=dtype),
         delta=_dpc(np.ones(D), dtype=dtype),
+        R_mat=_dpc(np.eye(D), dtype=dtype),
+        scale=_dpc(np.ones(D), dtype=dtype),
     )
 
     # Center in transformed space using the plausible box (host math: the
@@ -159,7 +166,12 @@ def direct(trinfo: Trinfo, x: jnp.ndarray) -> jnp.ndarray:
                                         jnp.where(t == 2, y2, y3)))
 
     if trinfo.R_mat is not None:
-        y = y @ trinfo.R_mat
+        # Rows with non-finite entries bypass the rotation: inf * 0 in the
+        # matmul would turn them into NaN (R_mat is always present, identity
+        # until a warp; +-inf coordinates must survive as +-inf, exactly as
+        # in the unrotated map).
+        finite = jnp.all(jnp.isfinite(y), axis=-1, keepdims=True)
+        y = jnp.where(finite, jnp.where(finite, y, 0.0) @ trinfo.R_mat, y)
     if trinfo.scale is not None:
         y = y / trinfo.scale
     return y
@@ -170,7 +182,8 @@ def _unrotate(trinfo: Trinfo, y: jnp.ndarray) -> jnp.ndarray:
     if trinfo.scale is not None:
         y = y * trinfo.scale
     if trinfo.R_mat is not None:
-        y = y @ trinfo.R_mat.T
+        finite = jnp.all(jnp.isfinite(y), axis=-1, keepdims=True)
+        y = jnp.where(finite, jnp.where(finite, y, 0.0) @ trinfo.R_mat.T, y)
     return y
 
 
@@ -285,7 +298,8 @@ def direct_np(trinfo: Trinfo, x: np.ndarray) -> np.ndarray:
     y3 = (u - mu) / delta
     y = np.where(t == 0, y0, np.where(t == 1, y1, np.where(t == 2, y2, y3)))
     if R is not None:
-        y = y @ R
+        finite = np.all(np.isfinite(y), axis=-1, keepdims=True)
+        y = np.where(finite, np.where(finite, y, 0.0) @ R, y)
     if s is not None:
         y = y / s
     return y
@@ -295,7 +309,8 @@ def _unrotate_np(y, R, s):
     if s is not None:
         y = y * s
     if R is not None:
-        y = y @ R.T
+        finite = np.all(np.isfinite(y), axis=-1, keepdims=True)
+        y = np.where(finite, np.where(finite, y, 0.0) @ R.T, y)
     return y
 
 

@@ -548,7 +548,8 @@ def _fess_jit(key, cfg: GPConfig, vp, gp, n_samples: int):
     from vbmc_tpu.vp import vp_rnd, vp_log_pdf_trans
     from vbmc_tpu.gp.predict import gp_predict
 
-    Xs = vp_rnd(vp, key, n_samples, orig_flag=False, balance_flag=True)
+    Xs = vp_rnd(vp, key, n_samples, orig_flag=False, balance_flag=True,
+                permute=False)
     fbar, _, _, _ = gp_predict(cfg, gp, Xs)
     logq = vp_log_pdf_trans(vp, Xs)
     lnw = fbar - logq

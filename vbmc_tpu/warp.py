@@ -1,19 +1,27 @@
 """Input warping (rotoscale reparameterization) and its propagation to the
 GP hyperparameters and variational posterior
 (cf. `misc/warp_input_vbmc.m`, `misc/warp_gpandvp_vbmc.m`,
-`utils/unscent_warp.m`). Host-side: runs a handful of times per inference.
+`utils/unscent_warp.m`).
+
+Runs entirely on the HOST in NumPy: the data is tiny (K x D, S x Nhyp) and
+the eager-jnp version triggered hundreds of one-op remote XLA compiles per
+warp on TPU (~0.4 s each through the tunnel) plus thousands of latency-bound
+sequential dispatches — measured as the single slowest event of a cold run.
+The jitted device path never sees this module; it only receives the finished
+trinfo/vp/hyp arrays.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from vbmc_tpu.transforms import Trinfo, direct, inverse, log_abs_det_jacobian
-from vbmc_tpu.vp import VariationalPosterior, vp_moments
+from vbmc_tpu.transforms import (Trinfo, direct_np, inverse_np,
+                                 log_abs_det_jacobian_np)
+from vbmc_tpu.vp import VariationalPosterior
+from vbmc_tpu.utils.hostcache import to_np, device_put_cached as _dpc
 
 
 def unscent_warp(fun: Callable, x: np.ndarray, sigma: np.ndarray):
@@ -35,6 +43,19 @@ def unscent_warp(fun: Callable, x: np.ndarray, sigma: np.ndarray):
     return xu.mean(axis=0), xu.std(axis=0, ddof=1)
 
 
+def _vp_moments_np(vp: VariationalPosterior):
+    """Analytic transformed-space moments of the VP, host math."""
+    w = np.asarray(to_np(vp.w), float)
+    mu = np.asarray(to_np(vp.mu), float)
+    sigma = np.asarray(to_np(vp.sigma), float)
+    lam = np.asarray(to_np(vp.lam), float)
+    mean = np.sum(w[:, None] * mu, axis=0)
+    dmu = mu - mean
+    cov = (dmu * w[:, None]).T @ dmu
+    cov = cov + np.diag(np.sum(w * sigma ** 2) * lam ** 2)
+    return mean, cov
+
+
 def compute_rotoscale(vp: VariationalPosterior, corr_thresh: float = 0.05,
                       cov_reg: float = 0.0) -> Trinfo:
     """Whitening transform from the variational covariance
@@ -43,11 +64,12 @@ def compute_rotoscale(vp: VariationalPosterior, corr_thresh: float = 0.05,
     and recentered mu/delta cleared."""
     ti = vp.trinfo
     D = vp.D
-    R_old = np.asarray(ti.R_mat) if ti.R_mat is not None else np.eye(D)
-    scale_old = np.asarray(ti.scale) if ti.scale is not None else np.ones(D)
+    R_old = (np.asarray(to_np(ti.R_mat), float) if ti.R_mat is not None
+             else np.eye(D))
+    scale_old = (np.asarray(to_np(ti.scale), float) if ti.scale is not None
+                 else np.ones(D))
 
-    _, VV = vp_moments(vp, orig_flag=False)
-    VV = np.asarray(VV)
+    _, VV = _vp_moments_np(vp)
     # Covariance in the pre-rotoscale coordinate system.
     S = R_old @ (np.diag(scale_old) @ VV @ np.diag(scale_old)) @ R_old.T
 
@@ -64,19 +86,19 @@ def compute_rotoscale(vp: VariationalPosterior, corr_thresh: float = 0.05,
     scale = np.sqrt(sv + np.finfo(float).eps)
 
     dtype = ti.mu.dtype
-    from vbmc_tpu.utils.hostcache import device_put_cached as _dpc
     return ti._replace(R_mat=_dpc(U, dtype=dtype),
                        scale=_dpc(scale, dtype=dtype))
 
 
-def update_plausible_bounds(trinfo: Trinfo, plb_orig, pub_orig, key,
+def update_plausible_bounds(trinfo: Trinfo, plb_orig, pub_orig, seed: int,
                             n_samples: int = 10 ** 5):
     """Quantile-based re-estimate of the transformed plausible box after a
     warp (`warp_input_vbmc.m:80-98`)."""
     D = plb_orig.shape[0]
-    u = np.asarray(jax.random.uniform(key, (n_samples, D)))
+    rng = np.random.default_rng(seed)
+    u = rng.random((n_samples, D))
     xx = plb_orig + u * (pub_orig - plb_orig)
-    yy = np.asarray(direct(trinfo, jnp.asarray(xx)))
+    yy = direct_np(trinfo, xx)
     plb = np.quantile(yy, 0.05, axis=0)
     pub = np.quantile(yy, 0.95, axis=0)
     delta = pub - plb
@@ -84,16 +106,17 @@ def update_plausible_bounds(trinfo: Trinfo, plb_orig, pub_orig, key,
 
 
 def remap_search_box(trinfo_old: Trinfo, trinfo_new: Trinfo, lb_search,
-                     ub_search, key, n_samples: int = 1000):
+                     ub_search, seed: int, n_samples: int = 1000):
     """Map the active-search box into the new space by sampling
     (`warp_input_vbmc.m:142-148`): draw uniformly in the old box, push the
     points through old-inverse -> new-direct, take the hull."""
     D = lb_search.shape[0]
     lo = np.where(np.isfinite(lb_search), lb_search, -10.0)
     hi = np.where(np.isfinite(ub_search), ub_search, 10.0)
-    u = np.asarray(jax.random.uniform(key, (n_samples, D)))
+    rng = np.random.default_rng(seed)
+    u = rng.random((n_samples, D))
     xx = lo + u * (hi - lo)
-    yy = np.asarray(direct(trinfo_new, inverse(trinfo_old, jnp.asarray(xx))))
+    yy = direct_np(trinfo_new, inverse_np(trinfo_old, xx))
     yy = yy[np.all(np.isfinite(yy), axis=1)]
     if yy.shape[0] == 0:
         return lo.copy(), hi.copy()
@@ -110,20 +133,20 @@ def warp_gp_and_vp(trinfo_new: Trinfo, vp_old: VariationalPosterior,
     T = temperature
 
     def warpfun(x):
-        return np.asarray(direct(trinfo_new,
-                                 inverse(trinfo_old, jnp.asarray(x))))
+        return direct_np(trinfo_new, inverse_np(trinfo_old, x))
 
     def logjac(ti, x):
-        return np.asarray(log_abs_det_jacobian(ti, jnp.asarray(x)))
+        return log_abs_det_jacobian_np(ti, np.asarray(x, float))
 
     # --- GP hyperparameters -----------------------------------------
-    hyp = np.asarray(gp_old.hyp).copy()          # (S, Nhyp)
-    X_np = np.asarray(gp_old.X)
-    mask = np.asarray(gp_old.mask, bool)
+    hyp = np.asarray(to_np(gp_old.hyp), float).copy()    # (S, Nhyp)
+    X_np = np.asarray(to_np(gp_old.X), float)
+    mask = np.asarray(to_np(gp_old.mask), bool)
     X_act = X_np[mask]
     for s in range(hyp.shape[0]):
         ell = np.exp(hyp[s, :D])
-        _, ell_new = unscent_warp(warpfun, X_act, np.tile(ell, (X_act.shape[0], 1)))
+        _, ell_new = unscent_warp(warpfun, X_act,
+                                  np.tile(ell, (X_act.shape[0], 1)))
         hyp[s, :D] = np.mean(np.log(np.maximum(ell_new, 1e-12)), axis=0)
         i_m = cfg.ncov + cfg.nnoise
         if cfg.meanfun == 1:  # const
@@ -141,11 +164,11 @@ def warp_gp_and_vp(trinfo_new: Trinfo, vp_old: VariationalPosterior,
             hyp[s, i_m + 1 + D:i_m + 1 + 2 * D] = \
                 np.log(np.maximum(omegaw[0], 1e-12))
     # --- variational posterior --------------------------------------
-    kmask = np.asarray(vp_old.kmask, bool)
-    mu = np.asarray(vp_old.mu)
-    sigma = np.asarray(vp_old.sigma)
-    lam = np.asarray(vp_old.lam)
-    w = np.asarray(vp_old.w)
+    kmask = np.asarray(to_np(vp_old.kmask), bool)
+    mu = np.asarray(to_np(vp_old.mu), float)
+    sigma = np.asarray(to_np(vp_old.sigma), float)
+    lam = np.asarray(to_np(vp_old.lam), float)
+    w = np.asarray(to_np(vp_old.w), float)
 
     sigmalambda = sigma[:, None] * lam[None, :]          # (K, D)
     muw, slw = unscent_warp(warpfun, mu, sigmalambda)
@@ -164,10 +187,10 @@ def warp_gp_and_vp(trinfo_new: Trinfo, vp_old: VariationalPosterior,
     dtype = vp_old.mu.dtype
     vp_new = vp_old._replace(
         trinfo=trinfo_new,
-        mu=jnp.asarray(muw, dtype=dtype),
-        sigma=jnp.asarray(np.where(kmask, sigma_new, 1.0), dtype=dtype),
-        lam=jnp.asarray(lam_new, dtype=dtype),
-        w=jnp.asarray(ww, dtype=dtype),
-        eta=jnp.asarray(np.where(kmask, np.log(np.maximum(ww, 1e-30)),
-                                 -40.0), dtype=dtype))
+        mu=_dpc(muw, dtype=dtype),
+        sigma=_dpc(np.where(kmask, sigma_new, 1.0), dtype=dtype),
+        lam=_dpc(lam_new, dtype=dtype),
+        w=_dpc(ww, dtype=dtype),
+        eta=_dpc(np.where(kmask, np.log(np.maximum(ww, 1e-30)),
+                          -40.0), dtype=dtype))
     return vp_new, hyp
