@@ -95,6 +95,21 @@ def main():
         t = _time(lambda: fused_prospective_acq(cfg, Xs, gp, vp, 0.0, 1e-4))
         results.append(("acquisition_sweep_8k_pallas", t, flops))
 
+    # 2c. VIQR importance-sampling sweep (the noisy-path hot kernel):
+    # per sample kma (M,Na), kmx (M,N), kmx @ invK (M,N)x(N,Na), variance
+    # reduction + sinh + logsumexp over Na.
+    from vbmc_tpu.active_is import build_is_state_core, \
+        evaluate_is_acquisition
+    key_is = jax.random.PRNGKey(2)
+    ais = build_is_state_core(key_is, cfg, "viqr", vp, gp, 100, 100, 100,
+                              mh_steps=3)
+    Na = ais.Xa.shape[0]
+    t = _time(lambda: evaluate_is_acquisition(cfg, "viqr", Xs, vp, gp,
+                                              state, ais))
+    flops = S * (2 * N * M * D + 2 * M * Na * D + 2 * M * N * Na
+                 + 6 * M * Na)
+    results.append(("viqr_sweep_8k", t, flops))
+
     # 3. ELBO value+grad
     flags = eb.VPFlags(opt_weights=True)
     eta = jnp.zeros(K, dtype=dtype)

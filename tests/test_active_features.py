@@ -53,6 +53,7 @@ def test_cost_model_early_iterations():
     assert val == pytest.approx((0.2 + 0.3 + 0.1 + 0.1) / 5.0)
 
 
+@pytest.mark.slow
 def test_repeated_observations_merge():
     """With max_repeated_observations > 0 a noisy run re-measures existing
     points, exercising the precision-weighted duplicate merge

@@ -36,6 +36,7 @@ def test_mvn_2d_unconstrained():
     _check(res, lnz, mu_true)
 
 
+@pytest.mark.slow
 def test_halfnormal_2d_constrained():
     # Product of half-normals on [0, inf)^2 boxed to [0, 10]: lnZ ~= log(1/4).
     D = 2

@@ -297,6 +297,7 @@ def test_extra_meanfun_quadrature_matches_mc(meanname, rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_acquisition_bandwidth_smoothing(rng):
     """evaluate_acquisition with smoothing: delta -> 0 approaches the
     unsmoothed sweep; a short vbmc run with bandwidth > 0 stays sane."""
@@ -348,6 +349,7 @@ def test_acquisition_bandwidth_smoothing(rng):
     assert np.isfinite(res.elbo) and abs(res.elbo) < 1.0
 
 
+@pytest.mark.slow
 def test_vbmc_run_with_intmean(rng):
     """End-to-end smoke: a short VBMC run with the integrated linear mean
     enabled still recovers a 2-D Gaussian."""

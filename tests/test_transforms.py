@@ -87,3 +87,40 @@ def test_probability_conservation(rng):
     logq = np.asarray(tr.log_abs_det_jacobian(ti, jnp.asarray(y)))
     integral = np.trapezoid(np.exp(logq), y[:, 0])
     np.testing.assert_allclose(integral, 1.0, rtol=1e-4)
+
+
+def test_trinfo_pytree_structure_stable_under_warp(rng):
+    """The first input warp must NOT change the trinfo pytree structure
+    (R_mat/scale None -> array would recompile every jitted kernel taking
+    a vp/trinfo; measured as the dominant cold-start cost on TPU)."""
+    from vbmc_tpu.vp import make_vp
+    from vbmc_tpu.warp import compute_rotoscale
+
+    D = 3
+    ti = tr.create_trinfo([-np.inf] * D, [np.inf] * D, [-2.0] * D,
+                          [2.0] * D)
+    assert ti.R_mat is not None and ti.scale is not None
+    vp = make_vp(ti, rng.standard_normal((4, D)), 0.5, np.ones(D), k_max=8)
+    ti2 = compute_rotoscale(vp)
+    assert (jax.tree_util.tree_structure(ti)
+            == jax.tree_util.tree_structure(ti2))
+    # identity rotoscale: the fresh trinfo must behave as if unrotated
+    X = rng.standard_normal((10, D))
+    np.testing.assert_allclose(np.asarray(tr.direct(ti, jnp.asarray(X))),
+                               tr.direct_np(ti, X), rtol=1e-6)
+
+
+def test_identity_rotoscale_preserves_infinities():
+    """inf * 0 in the (identity) rotation matmul must not produce NaN:
+    unbounded hard bounds map to +-inf and must survive the rotoscale
+    stage (both jax and numpy twins)."""
+    D = 3
+    ti = tr.create_trinfo([-np.inf, 0.0, -np.inf], [np.inf, 10.0, np.inf],
+                          [-2.0, 0.5, -2.0], [2.0, 3.0, 2.0])
+    x = np.array([[-np.inf, 5.0, np.inf]])
+    y_np = tr.direct_np(ti, x)
+    y_jx = np.asarray(tr.direct(ti, jnp.asarray(x)))
+    assert y_np[0, 0] == -np.inf and y_np[0, 2] == np.inf
+    assert not np.any(np.isnan(y_np))
+    np.testing.assert_allclose(y_jx[0, 1], y_np[0, 1], rtol=1e-6)
+    assert y_jx[0, 0] == -np.inf and y_jx[0, 2] == np.inf

@@ -884,19 +884,28 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
 
 
 def vbmc_sweep(fun, x0=None, lb=None, ub=None, plb=None, pub=None,
-               options: Optional[VBMCOptions] = None, n_runs: int = 3):
+               options: Optional[VBMCOptions] = None, n_runs: int = 3,
+               dispatch: str = "local", **dispatch_kwargs):
     """Multi-run validation sweep (cf. the `vbmc_diagnostics` workflow):
     run VBMC ``n_runs`` times with different seeds and cross-validate.
 
-    Returns (DiagnosticsResult, [VBMCResult, ...]). On a multi-host
-    deployment each run is independent and can be dispatched to its own
-    host; locally they execute sequentially.
+    dispatch="local": runs execute sequentially in-process; returns
+    (DiagnosticsResult, [VBMCResult, ...]).
+    dispatch="subprocess": each run in its OWN worker process — the
+    multi-host scale-out path (`parallel/launch.py`; pass ``launcher``
+    (e.g. an ssh/mpirun prefix) or ``env_per_run`` to place workers on
+    different hosts/accelerators). The target and callable options must be
+    picklable. Returns (DiagnosticsResult, [(vp, elbo, elbo_sd, meta), ...]).
     """
     import dataclasses as _dc
     from vbmc_tpu.diagnostics import vbmc_diagnostics
 
     if options is None:
         options = VBMCOptions()
+    if dispatch == "subprocess":
+        from vbmc_tpu.parallel.launch import dispatch_runs
+        return dispatch_runs(fun, x0, lb, ub, plb, pub, options=options,
+                             n_runs=n_runs, **dispatch_kwargs)
     results = []
     for i in range(n_runs):
         opts_i = _dc.replace(options, seed=options.seed + 1000 * i)

@@ -185,8 +185,10 @@ def _quick_full_update(cfg: GPConfig, key, salt, Xp, yp, s2p, mask,
                              jax.random.fold_in(k_opt, 7 + i))
 
     sts = jax.vmap(full_eval)(cands, jnp.arange(cands.shape[0]))
-    best = jnp.argmin(jnp.where(jnp.isfinite(sts["elbo"]), -sts["elbo"],
-                                jnp.inf))
+    # Pick by ELCBO, as `vpoptimize_vbmc.m:160-190` (beta = ELCBOWeight).
+    score = (-sts["elbo"]
+             + elcbo_beta * jnp.sqrt(jnp.maximum(sts["varF"], 0.0)))
+    best = jnp.argmin(jnp.where(jnp.isfinite(score), score, jnp.inf))
     mu_new = sts["mu"][best]
     sg_new = sts["sigma"][best]
     lam_new = sts["lam"][best]
