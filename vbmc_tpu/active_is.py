@@ -317,3 +317,71 @@ def evaluate_is_acquisition(cfg: GPConfig, name: str, Xs: jnp.ndarray,
 def _log_sinh(x):
     """Numerically stable log(sinh(x)) for x >= 0."""
     return x + jnp.log1p(-jnp.exp(-2.0 * x)) - jnp.log(2.0)
+
+
+def _pallas_viqr_ok(cfg: GPConfig, m: int) -> bool:
+    from vbmc_tpu.gp.config import MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return (on_tpu and cfg.intmean == 0 and cfg.outwarp == 0
+            and cfg.meanfun in (MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD)
+            and m % 256 == 0)
+
+
+_pallas_viqr_disabled = False
+
+
+def sweep_is_acquisition(cfg: GPConfig, name: str, Xs: jnp.ndarray,
+                         vp: VariationalPosterior, gp: GP, state,
+                         ais: ISState) -> jnp.ndarray:
+    """VIQR/IMIQR sweep dispatcher: on TPU the big candidate sweep runs as
+    the fused Pallas kernel (`pallas_kernels.fused_viqr_acq` — streams one
+    (tile, sample) block through VMEM instead of materializing (S, M, Na)
+    HBM temporaries); everything else (CPU, small CMA-ES population
+    batches) uses the XLA path, which remains the reference implementation
+    (`tests/test_pallas.py` checks agreement)."""
+    global _pallas_viqr_disabled
+    if not _pallas_viqr_disabled and _pallas_viqr_ok(cfg, Xs.shape[0]):
+        try:
+            acq = _fused_viqr_padded(cfg, Xs, gp, state, ais)
+            from vbmc_tpu.acquisitions import _bound_rejection
+            return _bound_rejection(vp.trinfo, Xs, state.lb_eps_orig,
+                                    state.ub_eps_orig, acq)
+        except Exception as e:  # Mosaic lowering/VMEM limits: XLA fallback
+            import warnings
+            warnings.warn(f"Pallas VIQR kernel disabled: {e!r}")
+            _pallas_viqr_disabled = True
+    return evaluate_is_acquisition(cfg, name, Xs, vp, gp, state, ais)
+
+
+def _fused_viqr_padded(cfg: GPConfig, Xs, gp: GP, state, ais: ISState):
+    """Pad the IS state's integration axis to a 128-multiple (Mosaic lane
+    tiling) and invoke the fused kernel. Padded slots carry ln_weight=-inf
+    so they contribute exactly zero to the log-sum-exp."""
+    from vbmc_tpu.pallas_kernels import fused_viqr_acq
+    from vbmc_tpu.acquisitions import _nearest_noise
+
+    dtype = Xs.dtype
+    Na = ais.Xa.shape[0]
+    nap = -(-Na // 128) * 128
+    pad = nap - Na
+    if pad:
+        Xa = jnp.concatenate([ais.Xa, jnp.zeros((pad, ais.Xa.shape[1]),
+                                                dtype=dtype)])
+        lnw = jnp.concatenate([ais.ln_weights,
+                               jnp.full((ais.ln_weights.shape[0], pad),
+                                        -jnp.inf, dtype=dtype)], axis=1)
+        fs2a = jnp.concatenate([ais.f_s2,
+                                jnp.ones((ais.f_s2.shape[0], pad),
+                                         dtype=dtype)], axis=1)
+        invk = jnp.concatenate([ais.invKzk,
+                                jnp.zeros(ais.invKzk.shape[:2] + (pad,),
+                                          dtype=dtype)], axis=2)
+    else:
+        Xa, lnw, fs2a, invk = ais.Xa, ais.ln_weights, ais.f_s2, ais.invKzk
+    sn2c = _nearest_noise(cfg, gp, Xs, state)
+    return fused_viqr_acq(cfg, Xs, gp, Xa, lnw, fs2a, invk, sn2c,
+                          state.tol_var,
+                          state.regularize.astype(dtype))

@@ -349,7 +349,7 @@ def _propose_point_is(cfg: GPConfig, name: str, key, salt, vp, gp, state,
     the noisy path the bench critical path). ``salt`` as in
     `_propose_point`."""
     from vbmc_tpu.active_is import build_is_state_core, \
-        evaluate_is_acquisition
+        evaluate_is_acquisition, sweep_is_acquisition
 
     k_is, k_gen, k_cma = jax.random.split(jax.random.fold_in(key, salt), 3)
     ais = build_is_state_core(k_is, cfg, name, vp, gp, n_is_vp, n_is_box,
@@ -357,7 +357,10 @@ def _propose_point_is(cfg: GPConfig, name: str, key, salt, vp, gp, state,
                               fess_thresh=fess_thresh)
     Xs, cov_t = _gen_candidates(k_gen, vp, gp, sb_lb, sb_ub, n_search,
                                 n_heavy, n_mvn, n_box)
-    acq = evaluate_is_acquisition(cfg, name, Xs, vp, gp, state, ais)
+    # Big sweep: fused Pallas kernel on TPU (VMEM-streamed, no (S, M, Na)
+    # HBM temporaries); the CMA-ES refinement batches below stay on the
+    # XLA evaluator (population of 16 — too small to tile).
+    acq = sweep_is_acquisition(cfg, name, Xs, vp, gp, state, ais)
 
     def f_batch(xs):
         return evaluate_is_acquisition(cfg, name, xs, vp, gp, state, ais)
@@ -540,9 +543,9 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                     logger.trinfo, jnp.asarray(Xsearch), integer_mask))
             Xs = jnp.asarray(Xsearch, dtype=dtype)
             if active_is_state is not None:
-                from vbmc_tpu.active_is import evaluate_is_acquisition
-                acq = evaluate_is_acquisition(cfg, acq_name, Xs, vp, gp,
-                                              state, active_is_state)
+                from vbmc_tpu.active_is import sweep_is_acquisition
+                acq = sweep_is_acquisition(cfg, acq_name, Xs, vp, gp,
+                                           state, active_is_state)
             else:
                 acq = sweep_acquisition(cfg, acq_name, Xs, vp, gp, state,
                                         smooth=smooth)
