@@ -320,6 +320,15 @@ def _log_sinh(x):
 
 
 def _pallas_viqr_ok(cfg: GPConfig, m: int) -> bool:
+    # Opt-in (VBMC_PALLAS_VIQR=1): measured on TPU v5e at bench shapes
+    # (S=16, N=128, M=8192, Na~300), the XLA path runs the sweep in ~3.6 ms
+    # (its (S, M, Na) temporaries are fused into the matmul consumers well
+    # enough) while the VMEM-streamed kernel takes ~20 ms — the kernel
+    # saves HBM *capacity*, not time, at these sizes. Kept compile-checked
+    # and parity-tested for larger-Na regimes.
+    import os
+    if os.environ.get("VBMC_PALLAS_VIQR", "0") != "1":
+        return False
     from vbmc_tpu.gp.config import MEAN_ZERO, MEAN_CONST, MEAN_NEGQUAD
     try:
         on_tpu = jax.default_backend() == "tpu"

@@ -679,12 +679,14 @@ def active_sample(key, cfg: GPConfig, logger: FunctionLogger, n_points: int,
                 gp = gp_reupdate(cfg, gp, logger)
 
     if vp_updated:
-        # The fused updates return device-only VP arrays; downstream host
-        # code (candidate generation, stats) reads them via to_np. ONE
-        # batched pull registers the mirrors.
+        # The fused updates return device-only VP/GP arrays; downstream
+        # host code (candidate generation, stats, sn2hpd) reads them via
+        # to_np — each unmirrored read is a blocking tunnel round trip.
+        # ONE batched pull registers all the mirrors.
         from vbmc_tpu.utils.hostcache import register
-        vals = jax.device_get((vp.mu, vp.sigma, vp.lam, vp.w, vp.eta))
-        for dev, host in zip((vp.mu, vp.sigma, vp.lam, vp.w, vp.eta), vals):
+        arrs = (vp.mu, vp.sigma, vp.lam, vp.w, vp.eta, gp.hyp, gp.hyp_mask)
+        vals = jax.device_get(arrs)
+        for dev, host in zip(arrs, vals):
             register(dev, np.asarray(host))
 
     return gp_reupdate(cfg, gp, logger), vp

@@ -268,34 +268,42 @@ def _estimate_sn2hpd(cfg: GPConfig, gp, logger, sn2: np.ndarray) -> float:
 
 
 def _predict_padded_dev(cfg, gp, X: np.ndarray):
-    """GP predictive summary at host points as LAZY device arrays (callers
-    batch the blocking pull with other results). Inputs are padded to a
-    bucket so the jitted kernel compiles a bounded number of variants;
-    point sets larger than the top bucket are processed in chunks."""
+    """GP predictive summary at host points as LAZY PADDED device arrays
+    plus per-chunk true lengths; callers batch the blocking pull with other
+    results and assemble with `_assemble_padded`. The truncation happens
+    host-side AFTER the pull: slicing a device array by the (per-iteration
+    growing) true length would compile a fresh XLA slice per length.
+    Inputs are padded to a bucket so the jitted kernel compiles a bounded
+    number of variants; point sets larger than the top bucket are processed
+    in chunks."""
     from vbmc_tpu.gp.predict import gp_predict_jit
     from vbmc_tpu.utils.math import bucket_n, pad_to, N_BUCKETS
 
     X = np.asarray(X, float)
     n = X.shape[0]
     top = N_BUCKETS[-1]
-    fb, vt = [], []
+    fb, vt, ns = [], [], []
     for i in range(0, max(n, 1), top):
         chunk = X[i:i + top]
         nb = bucket_n(chunk.shape[0])
         Xp = jnp.asarray(pad_to(chunk, nb), dtype=gp.X.dtype)
         fbar, vtot, _, _ = gp_predict_jit(cfg, gp, Xp)
-        fb.append(fbar[:chunk.shape[0]])
-        vt.append(vtot[:chunk.shape[0]])
-    if len(fb) == 1:
-        return fb[0], vt[0]
-    return jnp.concatenate(fb), jnp.concatenate(vt)
+        fb.append(fbar)
+        vt.append(vtot)
+        ns.append(chunk.shape[0])
+    return (fb, vt), ns
+
+
+def _assemble_padded(pulled, ns):
+    """Host-side truncate-and-concat of pulled padded chunks."""
+    return np.concatenate([np.asarray(a)[:k] for a, k in zip(pulled, ns)])
 
 
 def _predict_padded(cfg, gp, X: np.ndarray):
     """As `_predict_padded_dev` with an immediate (single) blocking pull."""
-    fbar, vtot = jax.device_get(_predict_padded_dev(cfg, gp, X))
-    n = np.asarray(X).shape[0]
-    return np.asarray(fbar)[:n], np.asarray(vtot)[:n]
+    (fb, vt), ns = _predict_padded_dev(cfg, gp, X)
+    fb_h, vt_h = jax.device_get((fb, vt))
+    return _assemble_padded(fb_h, ns), _assemble_padded(vt_h, ns)
 
 
 def _recompute_lcbmax(cfg, gp, logger, stats: st.Stats, options) -> np.ndarray:
@@ -691,21 +699,21 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         # true-moment KL.
         kld_dev = vp_kldiv(vp, vp_old, n_samples=10 ** 5,
                            gauss_flag=opt.kl_gauss, key=k_kl)
-        fbar_dev, vtot_dev = _predict_padded_dev(cfg, gp, X_tr)
+        (fb_dev, vt_dev), ns_chunks = _predict_padded_dev(cfg, gp, X_tr)
         mom_dev = vp_moments(vp, orig_flag=False)
         true_mom_dev = None
         if opt.true_mean is not None and opt.true_cov is not None:
             k_mom = ks()
             true_mom_dev = vp_moments(vp, orig_flag=True, n_samples=10 ** 5,
                                       key=k_mom)
-        kld, fbar, vtot, (mu_t, cov_t), sn2_host, true_mom = jax.device_get(
-            (kld_dev, fbar_dev, vtot_dev, mom_dev, gp.sn2, true_mom_dev))
+        kld, fb_h, vt_h, (mu_t, cov_t), sn2_host, true_mom = jax.device_get(
+            (kld_dev, fb_dev, vt_dev, mom_dev, gp.sn2, true_mom_dev))
+        fbar = _assemble_padded(fb_h, ns_chunks)
+        vtot = _assemble_padded(vt_h, ns_chunks)
 
         sKL = max(0.0, 0.5 * float(np.sum(kld)))
-        n_lcb = X_tr.shape[0]
-        lcb = (fbar[:n_lcb]
-               - opt.elcbo_impro_weight * np.sqrt(np.maximum(vtot[:n_lcb],
-                                                             0.0)))
+        lcb = (fbar
+               - opt.elcbo_impro_weight * np.sqrt(np.maximum(vtot, 0.0)))
         lcbmax = float(np.max(lcb))
         state.sn2hpd = _estimate_sn2hpd(cfg, gp, logger, sn2_host)
 

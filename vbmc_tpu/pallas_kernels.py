@@ -345,7 +345,10 @@ def fused_viqr_acq(cfg: GPConfig, Xs, gp, Xa, lnw, fs2a, invk, sn2c,
     S = gp.s_max
     Na = Xa.shape[0]
     dtype = Xs.dtype
-    Mt = min(_TILE_M, M)
+    # Wider tiles than the prospective kernel: the per-step cost here is
+    # dominated by re-fetching the (N, Na) invKzk block, so fewer, larger
+    # steps win.
+    Mt = min(1024, M)
     assert M % Mt == 0 and Na % 128 == 0, (M, Mt, Na)
 
     smask = gp.hyp_mask.astype(jnp.int32)
