@@ -272,7 +272,11 @@ def map_sample_assemble_core(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
         best = jnp.argmin(jnp.where(jnp.isfinite(f_opt), f_opt, jnp.inf))
         hyp_map = hyp_opt[best]
     else:
-        hyp_map = x0s_map[0]
+        # No MAP polish: still select the best start IN-TRACE (replaces the
+        # host-side design-eval ordering — no pre-selection round trip).
+        f0 = jax.vmap(obj)(x0s_map)
+        hyp_map = x0s_map[jnp.argmin(jnp.where(jnp.isfinite(f0), f0,
+                                               jnp.inf))]
     hyp_map = jnp.clip(hyp_map, prior.lb + 1e-12, prior.ub - 1e-12)
 
     if warm:
@@ -390,17 +394,17 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         top = design[order[:max(3 * opts.nopts, 10)]]
         widths_default = np.maximum(top.std(axis=0, ddof=1), 1e-3)
     else:
-        # Pad the start set to a fixed size (repeat last row) to avoid
-        # per-call recompiles of the vmapped evaluator.
+        # No init design: pad the start set to a fixed size (repeat last
+        # row). ALL padded starts go into the fused program below, which
+        # evaluates/optimizes them vmapped and argmin-selects in-trace —
+        # no host-side pre-selection round trip (the vmapped lanes cost
+        # nothing extra on TPU at these sizes).
         n_pad = 8
         while n_pad < starts.shape[0]:
             n_pad *= 2
         starts_p = np.concatenate(
             [starts, np.tile(starts[-1:], (n_pad - starts.shape[0], 1))])
-        nll = np.asarray(_eval_design(cfg, jnp.asarray(starts_p, dtype=dtype),
-                                      prior, Xp, yp, s2p, mask))[:starts.shape[0]]
-        order = np.argsort(np.where(np.isfinite(nll), nll, np.inf))
-        x0s = starts[order[:max(opts.nopts, 1)]]
+        x0s = starts_p
 
     # --- MAP optimization + posterior sampling -----------------------------
     # With sampling on, MAP select + chain starts + chains + buffer assembly
@@ -408,13 +412,17 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     # below collects everything the host needs. MAP-only keeps the separate
     # pipeline (the chain program is the expensive compile).
     ns = int(opts.ns_samples)
-    if opts.nopts > 0:
-        reps = int(np.ceil(opts.nopts / x0s.shape[0]))
-        x0s_map = np.tile(x0s, (reps, 1))[:opts.nopts]
-        map_iters = opts.lbfgs_iters
+    if opts.ninit > 0:
+        if opts.nopts > 0:
+            reps = int(np.ceil(opts.nopts / x0s.shape[0]))
+            x0s_map = np.tile(x0s, (reps, 1))[:opts.nopts]
+            map_iters = opts.lbfgs_iters
+        else:
+            x0s_map = x0s[:1]
+            map_iters = 0
     else:
-        x0s_map = x0s[:1]
-        map_iters = 0
+        x0s_map = x0s
+        map_iters = opts.lbfgs_iters if opts.nopts > 0 else 0
 
     if ns > 0:
         sb = bucket_ns(ns)
