@@ -144,6 +144,24 @@ def _sieve_eval(cfg: GPConfig, thetas, gp: GP, mu0, sigma0, lam0, w0, kmask,
     return jax.vmap(one)(thetas, keys)
 
 
+@partial(jax.jit, static_argnames=("cfg", "flags", "n_ent_per_k"))
+def _sieve_select(cfg: GPConfig, thetas, gp: GP, mu0, sigma0, lam0, w0,
+                  kmask, flags: eb.VPFlags, n_ent_per_k: int, key, bnd):
+    """Sieve + in-trace argmin: returns the single best candidate theta
+    (the Nslowopts=1 path — no strategy-aware start picking needed, so the
+    whole selection stays on device with no host pull)."""
+    keys = jax.random.split(jax.random.fold_in(key, 3), thetas.shape[0])
+
+    def one(theta, k):
+        F, _ = eb.negelcbo(cfg, theta, gp, mu0, sigma0, lam0, w0, kmask,
+                           flags, 0.0, n_ent_per_k, 0, k, bnd=bnd,
+                           use_bounds=True)
+        return F
+    nelcbo = jax.vmap(one)(thetas, keys)
+    best = jnp.argmin(jnp.where(jnp.isfinite(nelcbo), nelcbo, jnp.inf))
+    return thetas[best]
+
+
 # ----------------------------------------------------------------------
 # Full optimization
 # ----------------------------------------------------------------------
@@ -254,6 +272,7 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     bnd = eb.compute_vp_bounds(gp, options, K_new)
 
     # --- candidate generation + sieve --------------------------------
+    theta_best_dev = None
     if n_fast_opts > 0:
         n3 = int(math.ceil(n_fast_opts / 3))
         cand = []
@@ -310,15 +329,26 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
         from vbmc_tpu.parallel.context import shard_rows
         thetas = shard_rows(thetas)
         # Sieve uses the *fast* entropy (0 by default => deterministic bound).
-        nelcbo = np.asarray(_sieve_eval(cfg, thetas, gp, tmpl_mu, tmpl_sigma,
-                                        tmpl_lam, tmpl_w, kmask, flags,
-                                        ns_fast_k, key, bnd))
-        nelcbo = np.where(np.isfinite(nelcbo), nelcbo, np.inf)
-        order = np.argsort(nelcbo)
-        # Host copy of the candidate thetas (cast to the device dtype so the
-        # values match a device pull bit-for-bit).
-        thetas_np = thetas_host.astype(np.dtype(dtype), copy=False)[order]
-        types = types[order]
+        theta_best_dev = None
+        if n_slow_opts == 1:
+            # Single-start path (the common steady-state case): selection
+            # happens in-trace; no host pull of the sieve values.
+            theta_best_dev = _sieve_select(cfg, thetas, gp, tmpl_mu,
+                                           tmpl_sigma, tmpl_lam, tmpl_w,
+                                           kmask, flags, ns_fast_k, key,
+                                           bnd)
+            thetas_np = thetas_host.astype(np.dtype(dtype), copy=False)
+        else:
+            nelcbo = np.asarray(_sieve_eval(cfg, thetas, gp, tmpl_mu,
+                                            tmpl_sigma, tmpl_lam, tmpl_w,
+                                            kmask, flags, ns_fast_k, key,
+                                            bnd))
+            nelcbo = np.where(np.isfinite(nelcbo), nelcbo, np.inf)
+            order = np.argsort(nelcbo)
+            # Host copy of the candidate thetas (cast to the device dtype so
+            # the values match a device pull bit-for-bit).
+            thetas_np = thetas_host.astype(np.dtype(dtype), copy=False)[order]
+            types = types[order]
     else:
         kmask_np = np.arange(k_max) < K_new
         kmask = jnp.asarray(kmask_np)
@@ -372,9 +402,14 @@ def vpoptimize(key, cfg: GPConfig, vp: VariationalPosterior, gp: GP,
     # batch size — a per-variant remote compile costs more than the padded
     # rows' device time.
     n_opts_b = bucket_pow2(n_opts, lo=2 if bucket_mode() == "coarse" else 1)
-    starts_list = [pick_start(i) for i in range(n_opts)]
-    starts_list += [starts_list[0]] * (n_opts_b - n_opts)
-    theta0s = jnp.asarray(np.stack(starts_list))
+    if n_fast_opts > 0 and theta_best_dev is not None:
+        # Device-selected best start, replicated to the padded batch (same
+        # semantics as pick_start at Nslowopts=1: best candidate + repeats).
+        theta0s = jnp.tile(theta_best_dev[None, :], (n_opts_b, 1))
+    else:
+        starts_list = [pick_start(i) for i in range(n_opts)]
+        starts_list += [starts_list[0]] * (n_opts_b - n_opts)
+        theta0s = jnp.asarray(np.stack(starts_list))
 
     # Slow optimization + midpoint selection + precise ELCBO re-evaluation
     # run as ONE device program per path (L-BFGS / Adam): the optimizer
