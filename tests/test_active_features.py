@@ -113,7 +113,7 @@ def test_integer_vars_round_through_transform():
         evals.append(np.array(x, float))
         return float(-0.5 * np.sum(((x - np.array([3.0, 0.0])) / 2.0) ** 2))
 
-    opts = VBMCOptions(display="off", max_fun_evals=25, seed=1,
+    opts = VBMCOptions(display="off", max_fun_evals=20, seed=1,
                        integer_vars=(0,), min_final_components=4)
     res = vbmc(fun, x0=np.array([3.0, 0.2]), lb=np.array([0.0, -10.0]),
                ub=np.array([10.0, 10.0]), plb=np.array([1.0, -3.0]),
@@ -124,7 +124,7 @@ def test_integer_vars_round_through_transform():
     assert np.all(frac < 1e-6)
     # The continuous dimension is NOT rounded.
     assert np.any(np.abs(X[:, 1] - np.round(X[:, 1])) > 1e-3)
-    assert res.func_count >= 25
+    assert res.func_count >= 20
 
 
 def test_initial_design_kmeans_thinning():

@@ -28,11 +28,11 @@ def test_mvn_2d_unconstrained():
         return (-0.5 * np.sum(((x - mu_true) / sd) ** 2)
                 - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)) + lnz)
 
-    opts = VBMCOptions(display="off", max_fun_evals=60, seed=1,
-                       min_final_components=20)
+    opts = VBMCOptions(display="off", max_fun_evals=45, seed=1,
+                       min_final_components=10)
     res = vbmc(logp, x0=np.zeros(D), plb=np.full(D, -3.0),
                pub=np.full(D, 3.0), options=opts)
-    assert res.func_count <= 62
+    assert res.func_count <= 47
     _check(res, lnz, mu_true)
 
 

@@ -60,7 +60,7 @@ sd = np.array([1.0, 0.8])
 def logp(x):
     return float(-0.5 * np.sum((x / sd) ** 2) - np.log(2 * np.pi)
                  - np.sum(np.log(sd)))
-opts = VBMCOptions(display="off", max_fun_evals=35, seed=1,
+opts = VBMCOptions(display="off", max_fun_evals=28, seed=1,
                    min_final_components=8)
 res = vbmc(logp, x0=np.zeros(2), plb=np.full(2, -3.0), pub=np.full(2, 3.0),
            options=opts)
