@@ -23,13 +23,26 @@ import jax.numpy as jnp
 
 
 def _time(fn, *args, reps=10):
+    """Median-of-3 pipelined timing with self-calibrating rep count: reps
+    grow until a round takes >= 100 ms, so per-dispatch pipelining effects
+    cannot make a kernel look faster than the device can execute it."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.monotonic()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.monotonic() - t0) / reps
+
+    def round_(r):
+        t0 = time.monotonic()
+        o = None
+        for _ in range(r):
+            o = fn(*args)
+        jax.block_until_ready(o)
+        return time.monotonic() - t0
+
+    t = round_(reps)
+    while t < 0.1 and reps < 4096:
+        reps *= 4
+        t = round_(reps)
+    ts = sorted([t] + [round_(reps) for _ in range(2)])
+    return ts[1] / reps
 
 
 def main():

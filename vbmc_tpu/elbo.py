@@ -28,6 +28,8 @@ from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
                                 MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
 from vbmc_tpu.gp.gp import GP
 
+import numpy as np
+
 _LOG2PI = 1.8378770664093453
 
 
@@ -422,20 +424,28 @@ class ThetaBounds(NamedTuple):
 
 
 def compute_vp_bounds(gp: GP, options, K: int) -> "ThetaBounds":
-    """Soft bounds from the training-point hull (`vpbounds.m:17-30`)."""
-    m = gp.mask.astype(gp.X.dtype)
-    big = jnp.finfo(gp.X.dtype).max
-    Xmin = jnp.min(jnp.where(m[:, None] > 0, gp.X, big), axis=0)
-    Xmax = jnp.max(jnp.where(m[:, None] > 0, gp.X, -big), axis=0)
-    lnrange = jnp.log(jnp.maximum(Xmax - Xmin, 1e-10))
+    """Soft bounds from the training-point hull (`vpbounds.m:17-30`).
+
+    Host math on the X/mask mirrors: this runs once per vpoptimize call
+    and the eager-jnp version dispatched ~8 device ops each time (pure
+    latency through the remote-TPU tunnel). The numpy leaves upload when
+    the bounds enter a jitted objective."""
+    from vbmc_tpu.utils.hostcache import to_np
+    dtype = np.dtype(gp.X.dtype)
+    X = np.asarray(to_np(gp.X), dtype=float)
+    m = np.asarray(to_np(gp.mask), bool)
+    Xa = X[m] if m.any() else X
+    Xmin = Xa.min(axis=0).astype(dtype)
+    Xmax = Xa.max(axis=0).astype(dtype)
+    lnrange = np.log(np.maximum(Xmax - Xmin, 1e-10)).astype(dtype)
     return ThetaBounds(
         mu_lb=Xmin, mu_ub=Xmax,
-        lnscale_lb=lnrange + jnp.log(options.tol_length),
+        lnscale_lb=(lnrange + np.log(options.tol_length)).astype(dtype),
         lnscale_ub=lnrange,
-        eta_lb=jnp.asarray(jnp.log(0.5 * options.tol_weight)),
-        eta_ub=jnp.asarray(0.0),
+        eta_lb=dtype.type(np.log(0.5 * options.tol_weight)),
+        eta_ub=dtype.type(0.0),
         tol_con=options.tol_con_loss,
-        weight_threshold=jnp.asarray(max(1.0 / (4 * K), options.tol_weight)),
+        weight_threshold=dtype.type(max(1.0 / (4 * K), options.tol_weight)),
         weight_penalty=options.weight_penalty,
     )
 

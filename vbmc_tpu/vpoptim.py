@@ -42,7 +42,10 @@ def _bucket_ent(n: int) -> int:
 def vbinit(rng: np.random.Generator, init_type: int, n_opts: int,
            vp: VariationalPosterior, K_new: int, k_max: int,
            X_star: np.ndarray, y_star: np.ndarray, opt_weights: bool):
-    """Generate ``n_opts`` candidate parameter sets of K_new components.
+    """Generate ``n_opts`` candidate parameter sets of K_new components
+    (cf. `misc/vbinit_vbmc.m`; vectorized over the candidate axis — the
+    reference's per-candidate loop is pure interpreter overhead and showed
+    up as host-side contention when six runs share two vCPUs).
 
     Returns stacked host arrays: mu (n, k_max, D), sigma (n, k_max),
     lam (n, D), w (n, k_max).
@@ -55,74 +58,87 @@ def vbinit(rng: np.random.Generator, init_type: int, n_opts: int,
     lam0 = np.asarray(to_np(vp.lam))
     w0 = np.asarray(to_np(vp.w))[:K_old]
     n_star = X_star.shape[0]
+    n = n_opts
 
-    mu_c = np.zeros((n_opts, k_max, D))
-    sg_c = np.ones((n_opts, k_max))
-    lam_c = np.tile(lam0, (n_opts, 1))
-    w_c = np.zeros((n_opts, k_max))
-
-    for i in range(n_opts):
-        add_jitter = True
-        if init_type == 1:
-            # From old variational parameters; spawn new comps near existing.
-            mu = np.zeros((K_new, D))
-            sigma = np.ones(K_new)
-            w = np.full(K_new, 1.0 / K_new)
-            mu[:K_old] = mu0[:K_new] if K_old >= K_new else mu0
-            sigma[:K_old] = sigma0[:K_new] if K_old >= K_new else sigma0
+    # --- base parameter sets per strategy (n, K_new, ...) ---------------
+    if init_type == 1:
+        # From old variational parameters; spawn new comps near existing.
+        kc = min(K_old, K_new)
+        mu = np.zeros((n, K_new, D))
+        sigma = np.ones((n, K_new))
+        w = np.full((n, K_new), 1.0 / K_new)
+        mu[:, :kc] = mu0[:kc]
+        sigma[:, :kc] = sigma0[:kc]
+        if opt_weights:
+            w[:, :kc] = w0[:kc]
+        lam = np.tile(lam0, (n, 1))
+        n_grow = K_new - K_old
+        if n_grow > 0:
+            idx = rng.integers(K_old, size=(n, n_grow))
+            mu[:, K_old:] = (mu0[idx]
+                             + 0.5 * sigma0[idx][:, :, None] * lam0
+                             * rng.standard_normal((n, n_grow, D)))
+            sigma[:, K_old:] = sigma0[idx] * np.exp(
+                0.2 * rng.standard_normal((n, n_grow)))
             if opt_weights:
-                w[:K_old] = w0[:K_new] if K_old >= K_new else w0
-            lam = lam0.copy()
-            if i == 0:
-                add_jitter = False
-            for k in range(K_old, K_new):
-                idx = rng.integers(K_old)
-                mu[k] = mu0[idx] + 0.5 * sigma0[idx] * lam0 * \
-                    rng.standard_normal(D)
-                sigma[k] = sigma0[idx] * np.exp(0.2 * rng.standard_normal())
-                if opt_weights:
-                    xi = 0.25 + 0.25 * rng.random()
-                    w[k] = xi * w[idx]
-                    w[idx] = (1 - xi) * w[idx]
-        elif init_type == 2:
-            # Highest-density training points as means.
-            order = np.argsort(y_star)[::-1]
-            idx_ord = np.resize(np.arange(min(K_new, n_star)), K_new)
-            mu = X_star[order[idx_ord]]
-            V = np.var(mu, axis=0) if K_new > 1 else np.var(X_star, axis=0)
-            lam = X_star.std(axis=0, ddof=1) + 1e-12
-            lam = lam * np.sqrt(D / np.sum(lam ** 2))
-            sigma = np.sqrt(np.mean(V / lam ** 2) / K_new) * \
-                np.exp(0.2 * rng.standard_normal(K_new))
-            w = np.full(K_new, 1.0 / K_new)
-            if i == 0:
-                add_jitter = False
-        else:
-            # Random training points as means.
-            order = rng.permutation(n_star)
-            idx_ord = np.resize(np.arange(min(K_new, n_star)), K_new)
-            mu = X_star[order[idx_ord]]
-            V = np.var(mu, axis=0) if K_new > 1 else np.var(X_star, axis=0)
-            sigma = np.sqrt(np.mean(V) / K_new) * \
-                np.exp(0.2 * rng.standard_normal(K_new))
-            lam = X_star.std(axis=0, ddof=1) + 1e-12
-            lam = lam * np.sqrt(D / np.sum(lam ** 2))
-            w = np.full(K_new, 1.0 / K_new)
+                # Split weight mass from the spawning component (applied
+                # sequentially per grown slot, as the reference does).
+                for j in range(n_grow):
+                    xi = 0.25 + 0.25 * rng.random(n)
+                    src = w[np.arange(n), idx[:, j]]
+                    w[:, K_old + j] = xi * src
+                    w[np.arange(n), idx[:, j]] = (1 - xi) * src
+        jitter = np.ones(n, dtype=bool)
+        jitter[0] = False
+    elif init_type == 2:
+        # Highest-density training points as means.
+        order = np.argsort(y_star)[::-1]
+        idx_ord = np.resize(np.arange(min(K_new, n_star)), K_new)
+        base_mu = X_star[order[idx_ord]]
+        V = np.var(base_mu, axis=0) if K_new > 1 else np.var(X_star, axis=0)
+        lam1 = X_star.std(axis=0, ddof=1) + 1e-12
+        lam1 = lam1 * np.sqrt(D / np.sum(lam1 ** 2))
+        mu = np.tile(base_mu, (n, 1, 1))
+        sigma = np.sqrt(np.mean(V / lam1 ** 2) / K_new) * np.exp(
+            0.2 * rng.standard_normal((n, K_new)))
+        lam = np.tile(lam1, (n, 1))
+        w = np.full((n, K_new), 1.0 / K_new)
+        jitter = np.ones(n, dtype=bool)
+        jitter[0] = False
+    else:
+        # Random training points as means.
+        idx_ord = np.resize(np.arange(min(K_new, n_star)), K_new)
+        orders = np.argsort(rng.random((n, n_star)), axis=1)  # n permutations
+        mu = X_star[orders[:, idx_ord]]
+        V = np.where(K_new > 1, np.var(mu, axis=1),
+                     np.var(X_star, axis=0))                   # (n, D)
+        sigma = np.sqrt(np.mean(V, axis=1, keepdims=True) / K_new) * np.exp(
+            0.2 * rng.standard_normal((n, K_new)))
+        lam1 = X_star.std(axis=0, ddof=1) + 1e-12
+        lam1 = lam1 * np.sqrt(D / np.sum(lam1 ** 2))
+        lam = np.tile(lam1, (n, 1))
+        w = np.full((n, K_new), 1.0 / K_new)
+        jitter = np.ones(n, dtype=bool)
 
-        if add_jitter:
-            mu = mu + sigma[:, None] * lam[None, :] * \
-                rng.standard_normal((K_new, D))
-            sigma = sigma * np.exp(0.2 * rng.standard_normal(K_new))
-            lam = lam * np.exp(0.2 * rng.standard_normal(D))
-            if opt_weights:
-                w = w * np.exp(0.2 * rng.standard_normal(K_new))
-        w = np.maximum(w, 1e-12)
-        w = w / w.sum()
+    # --- common jitter block (`vbinit_vbmc.m:111-125`) ------------------
+    jf = jitter.astype(float)
+    mu = mu + jf[:, None, None] * sigma[:, :, None] * lam[:, None, :] * \
+        rng.standard_normal((n, K_new, D))
+    sigma = sigma * np.exp(0.2 * jf[:, None]
+                           * rng.standard_normal((n, K_new)))
+    lam = lam * np.exp(0.2 * jf[:, None] * rng.standard_normal((n, D)))
+    if opt_weights:
+        w = w * np.exp(0.2 * jf[:, None] * rng.standard_normal((n, K_new)))
+    w = np.maximum(w, 1e-12)
+    w = w / w.sum(axis=1, keepdims=True)
 
-        mu_c[i, :K_new] = mu
-        sg_c[i, :K_new] = np.maximum(sigma, 1e-10)
-        lam_c[i] = np.maximum(lam, 1e-10)
-        w_c[i, :K_new] = w
+    mu_c = np.zeros((n, k_max, D))
+    sg_c = np.ones((n, k_max))
+    w_c = np.zeros((n, k_max))
+    mu_c[:, :K_new] = mu
+    sg_c[:, :K_new] = np.maximum(sigma, 1e-10)
+    lam_c = np.maximum(lam, 1e-10)
+    w_c[:, :K_new] = w
     return mu_c, sg_c, lam_c, w_c
 
 
