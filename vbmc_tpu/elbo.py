@@ -25,7 +25,10 @@ from jax.scipy.linalg import cho_solve
 
 from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
                                 MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
-                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
+                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY,
+                                MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                                MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY,
+                                MEAN_NEGQUADMIX)
 from vbmc_tpu.gp.gp import GP
 
 import numpy as np
@@ -234,9 +237,68 @@ def gplogjoint_I(cfg: GPConfig, gp: GP, mu, sigma, lam):
         xm = hyp_mean[:, :cfg.D]
         omega2 = jnp.exp(2.0 * hyp_mean[:, cfg.D:2 * cfg.D])
         I = I + _negquad_nu_at(xm, omega2, mu, sigma, lam)
+    elif cfg.meanfun in (MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                         MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY):
+        # Fixed-center families: the center is the static per-fit constant
+        # cfg.fix_center (`gplogjoint.m:112-121,134-138`).
+        from vbmc_tpu.gp.means import _center
+        D = cfg.D
+        S = hyp_mean.shape[0]
+        xm = jnp.broadcast_to(_center(cfg, mu.dtype), (S, D))
+        if cfg.meanfun == MEAN_NEGQUADFIXISO:
+            omega2 = jnp.broadcast_to(jnp.exp(2.0 * hyp_mean[:, 1])[:, None],
+                                      (S, D))
+            I = I + hyp_mean[:, 0][:, None] \
+                + _negquad_nu_at(xm, omega2, mu, sigma, lam)
+        elif cfg.meanfun == MEAN_NEGQUADFIXONLY:
+            omega2 = jnp.exp(2.0 * hyp_mean[:, :D])
+            I = I + _negquad_nu_at(xm, omega2, mu, sigma, lam)
+        else:
+            omega2 = jnp.exp(2.0 * hyp_mean[:, 1:D + 1])
+            I = I + hyp_mean[:, 0][:, None] \
+                + _negquad_nu_at(xm, omega2, mu, sigma, lam)
+            if cfg.meanfun == MEAN_NEGQUADSEFIX:
+                # Constrained SE bump: omega_se = alpha*omega, plus the
+                # -h_se offset folded into m0 (`gplogjoint.m:134-138`).
+                alpha2 = jnp.exp(2.0 * hyp_mean[:, D + 1])
+                h_se = jnp.exp(hyp_mean[:, D + 2])
+                I = (I - h_se[:, None]
+                     + _se_bump_nu(xm, alpha2[:, None] * omega2, h_se,
+                                   mu, sigma, lam))
+    elif cfg.meanfun == MEAN_NEGQUADMIX:
+        # E_q of the quadratic mixture (`gplogjoint.m:181-195`): the window
+        # term needs the Gaussian-tilted first/second moments of q_k.
+        D = cfg.D
+        xm = hyp_mean[:, 1:D + 1]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+        hm = hyp_mean[:, 2 * D + 1]
+        rho2 = jnp.exp(2.0 * hyp_mean[:, 2 * D + 2])
+        beta2 = jnp.exp(2.0 * hyp_mean[:, 2 * D + 3])
+        s2lam2 = (sigma[:, None] ** 2) * (lam[None, :] ** 2)   # (K, D)
+        # nu1 = (1/beta2) * E[-q/2]
+        nu1 = _negquad_nu_at(xm, omega2, mu, sigma, lam) / beta2[:, None]
+        # E[window] = prod_d sqrt(rho2 w_d2 / t2_d) exp(-(mu-xm)^2/(2 t2))
+        t2 = s2lam2[None, :, :] + rho2[:, None, None] * omega2[:, None, :]
+        s2 = ((mu[None, :, :] - xm[:, None, :]) ** 2) / t2
+        lognf = 0.5 * jnp.sum(
+            jnp.log(rho2[:, None, None] * omega2[:, None, :])
+            - jnp.log(t2), -1)
+        atil = jnp.exp(lognf - 0.5 * jnp.sum(s2, -1))          # (S, K)
+        nu2 = -hm[:, None] * atil
+        # Tilted moments: q_k * window is Gaussian with
+        #   var  = s2lam2 * rho2 w2 / t2,   mean = (xm s2lam2 + mu rho2 w2)/t2
+        mutil = (xm[:, None, :] * s2lam2[None, :, :]
+                 + mu[None, :, :] * rho2[:, None, None] * omega2[:, None, :]) / t2
+        vartil = s2lam2[None, :, :] * rho2[:, None, None] \
+            * omega2[:, None, :] / t2
+        qtil = jnp.sum((vartil + (mutil - xm[:, None, :]) ** 2)
+                       / omega2[:, None, :], -1)               # (S, K)
+        nu3 = -0.5 * (1.0 - 1.0 / beta2)[:, None] * atil * qtil
+        I = I + (hyp_mean[:, 0] + hm)[:, None] + nu1 + nu2 + nu3
     elif cfg.meanfun != MEAN_ZERO:
         raise ValueError("gplogjoint supports zero/const/negquad/se/"
-                         "negquadse/negquadonly/negquadlinonly means")
+                         "negquadse/negquad(fix/fixiso/sefix/fixonly)/"
+                         "negquadonly/negquadlinonly/negquadmix means")
     if cfg.nint > 0:
         r = _intmean_r(cfg, gp, mu, sigma, lam, z)
         I = I + jnp.einsum("skb,sb->sk", r, gp.betabar)

@@ -19,8 +19,18 @@ MEAN_CONST = 1
 MEAN_NEGQUAD = 4
 MEAN_SE = 6
 MEAN_NEGQUADSE = 8        # negquad + SE bump (cf. gplite_meanfun.m:456-480)
+MEAN_NEGQUADFIXISO = 10   # fixed center, isotropic scale (:485-495)
+MEAN_NEGQUADFIX = 12      # fixed center, per-dim scale (:496-506)
+MEAN_NEGQUADSEFIX = 14    # fixed-center quad + constrained SE bump (:507-526)
 MEAN_NEGQUADONLY = 16     # -1/2 sum (x/omega)^2, no offset (:524-530)
+MEAN_NEGQUADFIXONLY = 18  # fixed center, per-dim scale, no offset (:536-544)
 MEAN_NEGQUADLINONLY = 20  # -1/2 sum ((x-xm)/omega)^2, no offset (:541-550)
+MEAN_NEGQUADMIX = 22      # mixture of inner/outer quadratics (:552-572)
+
+# Families whose center is supplied externally (`meanfun_extras` in the
+# reference, `gplite_meanfun.m:334-341`) rather than fit as hyperparameters.
+FIXED_CENTER_MEANFUNS = (MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                         MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY)
 
 COV_SEARD = 1
 COV_MATERN5 = 3
@@ -56,6 +66,12 @@ class GPConfig:
     intmean: int = INTMEAN_NONE
     # Output warp ("fitness shaping") applied to the observations.
     outwarp: int = OUTWARP_NONE
+    # Fixed mean-function center for the FIXED_CENTER_MEANFUNS families
+    # (the reference's per-fit `meanfun_extras`, `gplite_meanfun.m:334-341`).
+    # Static by design: the center is a per-fit constant folded into the
+    # compiled kernels; use `gp.means.fix_center_from_data` to compute the
+    # reference default (the incumbent X[argmax y]).
+    fix_center: tuple = ()
 
     @property
     def ncov(self) -> int:
@@ -84,10 +100,20 @@ class GPConfig:
             return 2 + 2 * self.D
         if self.meanfun == MEAN_NEGQUADSE:
             return 2 + 4 * self.D
+        if self.meanfun == MEAN_NEGQUADFIXISO:
+            return 2
+        if self.meanfun == MEAN_NEGQUADFIX:
+            return 1 + self.D
+        if self.meanfun == MEAN_NEGQUADSEFIX:
+            return 3 + self.D
         if self.meanfun == MEAN_NEGQUADONLY:
+            return self.D
+        if self.meanfun == MEAN_NEGQUADFIXONLY:
             return self.D
         if self.meanfun == MEAN_NEGQUADLINONLY:
             return 2 * self.D
+        if self.meanfun == MEAN_NEGQUADMIX:
+            return 4 + 2 * self.D
         raise ValueError(f"unsupported meanfun {self.meanfun}")
 
     @property

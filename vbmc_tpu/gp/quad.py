@@ -13,7 +13,10 @@ from jax.scipy.linalg import cho_solve
 
 from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
                                 MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
-                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
+                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY,
+                                MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                                MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY,
+                                MEAN_NEGQUADMIX)
 from vbmc_tpu.gp.gp import GP
 
 
@@ -90,9 +93,66 @@ def gp_quad(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray, delta: jnp.ndarray,
         q = ((Xstar[None, :, :] - xm[:, None, :]) ** 2
              + d2[None, None, :]) / omega2[:, None, :]
         fmu = fmu - 0.5 * jnp.sum(q, -1)
+    elif cfg.meanfun in (MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                         MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY):
+        # Fixed-center families: center is the static cfg.fix_center
+        # (`gplite_meanfun.m:485-544`; quadrature as `gplogjoint.m` with the
+        # component covariance replaced by the smoothing delta^2).
+        from vbmc_tpu.gp.means import _center
+        S = hyp_mean.shape[0]
+        xm = _center(cfg, dtype)                           # (D,)
+        if cfg.meanfun == MEAN_NEGQUADFIXISO:
+            omega2 = jnp.broadcast_to(
+                jnp.exp(2.0 * hyp_mean[:, 1])[:, None], (S, D))
+        elif cfg.meanfun == MEAN_NEGQUADFIXONLY:
+            omega2 = jnp.exp(2.0 * hyp_mean[:, :D])
+        else:
+            omega2 = jnp.exp(2.0 * hyp_mean[:, 1:D + 1])
+        q = ((Xstar[None, :, :] - xm[None, None, :]) ** 2
+             + d2[None, None, :]) / omega2[:, None, :]
+        fmu = fmu - 0.5 * jnp.sum(q, -1)
+        if cfg.meanfun != MEAN_NEGQUADFIXONLY:
+            fmu = fmu + hyp_mean[:, 0][:, None]
+        if cfg.meanfun == MEAN_NEGQUADSEFIX:
+            alpha2 = jnp.exp(2.0 * hyp_mean[:, D + 1])
+            h_se = jnp.exp(hyp_mean[:, D + 2])
+            o2_se = alpha2[:, None] * omega2               # (S, D)
+            t2 = d2[None, None, :] + o2_se[:, None, :]
+            s2m = ((Xstar[None, :, :] - xm[None, None, :]) ** 2) / t2
+            lognf_se = 0.5 * jnp.sum(jnp.log(o2_se[:, None, :])
+                                     - jnp.log(t2), -1)
+            fmu = (fmu - h_se[:, None]
+                   + h_se[:, None] * jnp.exp(lognf_se
+                                             - 0.5 * jnp.sum(s2m, -1)))
+    elif cfg.meanfun == MEAN_NEGQUADMIX:
+        # Quadratic-mixture mean under the smoothing kernel: Gaussian-tilted
+        # moments as `gplogjoint.m:181-195` with s2lam2 -> delta^2.
+        xm = hyp_mean[:, 1:D + 1]
+        omega2 = jnp.exp(2.0 * hyp_mean[:, D + 1:2 * D + 1])
+        hm = hyp_mean[:, 2 * D + 1]
+        rho2 = jnp.exp(2.0 * hyp_mean[:, 2 * D + 2])
+        beta2 = jnp.exp(2.0 * hyp_mean[:, 2 * D + 3])
+        dx2 = (Xstar[None, :, :] - xm[:, None, :]) ** 2    # (S, M, D)
+        q = (dx2 + d2[None, None, :]) / omega2[:, None, :]
+        nu1 = -0.5 * jnp.sum(q, -1) / beta2[:, None]
+        t2 = d2[None, None, :] + (rho2[:, None, None]
+                                  * omega2[:, None, :])    # (S, 1|M, D)
+        atil = jnp.exp(0.5 * jnp.sum(
+            jnp.log(rho2[:, None, None] * omega2[:, None, :])
+            - jnp.log(t2), -1) - 0.5 * jnp.sum(dx2 / t2, -1))
+        mutil_minus_xm = (Xstar[None, :, :] - xm[:, None, :]) \
+            * (rho2[:, None, None] * omega2[:, None, :]) / t2
+        vartil = d2[None, None, :] * rho2[:, None, None] \
+            * omega2[:, None, :] / t2
+        qtil = jnp.sum((vartil + mutil_minus_xm ** 2)
+                       / omega2[:, None, :], -1)
+        fmu = (fmu + (hyp_mean[:, 0] + hm)[:, None] + nu1
+               - hm[:, None] * atil
+               - 0.5 * (1.0 - 1.0 / beta2)[:, None] * atil * qtil)
     elif cfg.meanfun != MEAN_ZERO:
         raise ValueError("gp_quad supports zero/const/negquad/se/negquadse/"
-                         "negquadonly/negquadlinonly means")
+                         "negquad(fix/fixiso/sefix/fixonly)/negquadonly/"
+                         "negquadlinonly/negquadmix means")
 
     r_int = None
     if cfg.nint > 0:

@@ -25,7 +25,10 @@ from vbmc_tpu.utils.hostcache import to_np
 from vbmc_tpu.function_logger import FunctionLogger
 from vbmc_tpu.gp.config import (GPConfig, MEAN_ZERO, MEAN_CONST,
                                 MEAN_NEGQUAD, MEAN_SE, MEAN_NEGQUADSE,
-                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY)
+                                MEAN_NEGQUADONLY, MEAN_NEGQUADLINONLY,
+                                MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                                MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY,
+                                MEAN_NEGQUADMIX, FIXED_CENTER_MEANFUNS)
 from vbmc_tpu.gp.fit import train_gp, TrainOptions, get_hpd
 from vbmc_tpu.gp.predict import gp_predict
 from vbmc_tpu.vp import (VariationalPosterior, make_vp, vp_moments, vp_kldiv,
@@ -40,7 +43,12 @@ _MEANFUN_IDS = {"zero": MEAN_ZERO, "const": MEAN_CONST,
                 "negquad": MEAN_NEGQUAD, "se": MEAN_SE,
                 "negquadse": MEAN_NEGQUADSE,
                 "negquadonly": MEAN_NEGQUADONLY,
-                "negquadlinonly": MEAN_NEGQUADLINONLY}
+                "negquadlinonly": MEAN_NEGQUADLINONLY,
+                "negquadfixiso": MEAN_NEGQUADFIXISO,
+                "negquadfix": MEAN_NEGQUADFIX,
+                "negquadsefix": MEAN_NEGQUADSEFIX,
+                "negquadfixonly": MEAN_NEGQUADFIXONLY,
+                "negquadmix": MEAN_NEGQUADMIX}
 _TRANSFORM_IDS = {"logit": LOGIT, "probit": PROBIT, "norminv": PROBIT,
                   "student4": STUDENT4}
 _OUTWARP_IDS = {"negpow": 1, "negpowc1": 2, "negscaledpow": 3}
@@ -251,6 +259,24 @@ def _update_hyp_runcov(state: st.OptimState, hyp_full: np.ndarray,
         state.hyp_runcov = (1 - w) * hypcov + w * state.hyp_runcov
 
 
+def _recenter_cfg(cfg: GPConfig, X_tr: np.ndarray,
+                  y_tr: np.ndarray) -> GPConfig:
+    """Refresh the fixed mean-function center to the current incumbent for
+    the FIXED_CENTER_MEANFUNS families (the reference recomputes
+    `meanfun_extras` = X[argmax y] at every `gplite_train`,
+    `gplite_meanfun.m:334-341`). The center is static GP config here, so a
+    *moved* incumbent compiles fresh kernel variants — cheap on CPU, and
+    these families are analysis configs, not the TPU production path
+    (use the default 'negquad' there)."""
+    if cfg.meanfun not in FIXED_CENTER_MEANFUNS:
+        return cfg
+    from vbmc_tpu.gp.means import fix_center_from_data
+    center = fix_center_from_data(X_tr, y_tr)
+    if center == cfg.fix_center:
+        return cfg
+    return dataclasses.replace(cfg, fix_center=center)
+
+
 def _estimate_sn2hpd(cfg: GPConfig, gp, logger, sn2: np.ndarray) -> float:
     """GP noise around the top HPD region (`gptrain_vbmc.m:347-377`).
     ``sn2``: host copy of gp.sn2 (pulled in the finalize batch)."""
@@ -362,8 +388,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
     if opt.gp_mean_fun not in _MEANFUN_IDS:
         raise ValueError(
             f"gp_mean_fun={opt.gp_mean_fun!r} is not supported; choose one "
-            f"of {sorted(_MEANFUN_IDS)}. (The reference's fixed-center "
-            f"variants are intentionally not implemented; see PARITY.md.)")
+            f"of {sorted(_MEANFUN_IDS)}.")
     if opt.bounded_transform not in _TRANSFORM_IDS:
         raise ValueError(
             f"bounded_transform={opt.bounded_transform!r} is not supported; "
@@ -545,6 +570,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
                 X_tr, y_tr, s2_tr = logger.training_data(
                     noise_shaping=_noise_shaping if opt.noise_shaping else None,
                     options=opt)
+                cfg = _recenter_cfg(cfg, X_tr, y_tr)
                 gp, gpinfo_w = train_gp(k_gp2, cfg, X_tr, y_tr, s2_tr,
                                         plb_t, pub_t, topts, hyp0=hyp_warped)
                 n_fast_w = int(math.ceil(opt.evalopt("ns_elbo", state.vp_K)))
@@ -658,6 +684,7 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
         # Warm-start hyperparameters from previous iterations
         # (`gptrain_vbmc.m:36-50`).
         hyp0 = _collect_hyp_starts(stats, hyp_warm, topts.ninit)
+        cfg = _recenter_cfg(cfg, X_tr, y_tr)
         gp, gpinfo = train_gp(k_gp, cfg, X_tr, y_tr, s2_tr, plb_t, pub_t,
                               topts, hyp0=hyp0,
                               host_seed=int(rng.integers(2 ** 31 - 1)))
