@@ -8,8 +8,10 @@ from vbmc_tpu.gp.core import (
 )
 from vbmc_tpu.gp.predict import gp_predict, gp_predict_full
 from vbmc_tpu.gp.fit import train_gp, TrainOptions
+from vbmc_tpu.gp.means import fix_center_from_data
 
 __all__ = [
+    "fix_center_from_data",
     "GPConfig",
     "GP",
     "HypPrior",
