@@ -2,9 +2,13 @@
 
 Runs the reference's self-test workload (full VBMC runs against analytic
 targets with known log-normalizer, cf. `test/runtest_vbmc.m`: ~240 s for 6
-runs x 100 evaluations on an i7-9750H under MATLAB) and prints ONE JSON line:
+runs x 100 evaluations on an i7-9750H under MATLAB) and prints JSON lines:
 
     {"metric": "selftest_speedup", "value": ..., "unit": "x", "vs_baseline": ...}
+
+One line is printed after EVERY completed stage (warm-up, measured suite,
+D=10 stress, seed sweep) so that a harness timeout at any point still leaves
+a parseable measurement on stdout — the LAST line is the most complete one.
 
 value = (MATLAB baseline seconds, scaled to the blocks run here) / (our
 WARM wall-clock seconds). Warm-up is a full same-seed pass of every block
@@ -15,8 +19,14 @@ the persistent XLA cache. The JSON detail reports the warm-up seconds AND
 the cold-cache numbers (cold_total_s = warmup_s + elapsed_s,
 cold_speedup) so both stories are visible.
 
+The whole run is budgeted (`VBMC_BENCH_BUDGET_S`, default 1380 s measured
+from process start): warm-up aborts its runs via the OutputFcn stop
+protocol when its share is spent, and the stress block / seed sweep are
+skipped with a note when the remaining budget cannot fit them.
+
 Env knobs: VBMC_BENCH_X64=1 forces float64; VBMC_BENCH_BLOCKS limits blocks;
-VBMC_BENCH_SEEDS=n adds an n-seed statistical acceptance sweep.
+VBMC_BENCH_SEEDS=n adds an n-seed statistical acceptance sweep;
+VBMC_BENCH_BUDGET_S / VBMC_BENCH_WARMUP_BUDGET_S tune the budgets.
 """
 
 import json
@@ -25,6 +35,8 @@ import sys
 import time
 
 import numpy as np
+
+T0 = time.monotonic()   # process start: all budgets measure from here
 
 # Allow running from the repo root.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -36,6 +48,12 @@ if os.environ.get("VBMC_BENCH_X64", "0") == "1":
 
 MATLAB_BASELINE_TOTAL = 240.0   # seconds, 6 blocks (runtest_vbmc.m:10-11)
 MATLAB_BLOCKS = 6
+
+BUDGET_S = float(os.environ.get("VBMC_BENCH_BUDGET_S", "1380"))
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - T0)
 
 
 def _blocks():
@@ -132,23 +150,28 @@ def _blocks():
     return blocks
 
 
-def run_block(blk, seed, max_fun_evals=100):
+def run_block(blk, seed, max_fun_evals=100, deadline=None):
+    """One full VBMC run of a block. `deadline` (absolute time.monotonic())
+    aborts the run after the current iteration via the OutputFcn stop
+    protocol — used to cap warm-up; compiles done so far stay cached."""
     from vbmc_tpu import vbmc, VBMCOptions, vp_moments
     t_blk = time.monotonic()
     print(f"# >> block {blk['name']} start", file=sys.stderr, flush=True)
+    progress = os.environ.get("VBMC_BENCH_PROGRESS", "1") == "1"
 
-    def _progress(info):
-        print(f"#    {blk['name']} iter {info['iteration']:3d} "
-              f"fc={info['func_count']:3d} elbo={info['elbo']:8.3f} "
-              f"K={info['K']:3d} t={time.monotonic() - t_blk:7.1f}s "
-              f"timer={info.get('timer')}", file=sys.stderr, flush=True)
+    def _hook(info):
+        if progress:
+            print(f"#    {blk['name']} iter {info['iteration']:3d} "
+                  f"fc={info['func_count']:3d} elbo={info['elbo']:8.3f} "
+                  f"K={info['K']:3d} t={time.monotonic() - t_blk:7.1f}s "
+                  f"timer={info.get('timer')}", file=sys.stderr, flush=True)
+        return deadline is not None and time.monotonic() > deadline
 
     try:
         opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals,
                            seed=seed, min_final_components=20,
                            specify_target_noise=blk["noisy"],
-                           output_fcn=_progress if os.environ.get(
-                               "VBMC_BENCH_PROGRESS", "1") == "1" else None)
+                           output_fcn=_hook)
         fun = blk["make_fun"](seed) if "make_fun" in blk else blk["fun"]
         res = vbmc(fun, x0=blk["x0"], lb=blk["lb"], ub=blk["ub"],
                    plb=blk["plb"], pub=blk["pub"], options=opts)
@@ -158,16 +181,18 @@ def run_block(blk, seed, max_fun_evals=100):
         ok = (res.exitflag >= 0) and err_elbo < 0.5 and rmse < 0.5
         return dict(name=blk["name"], ok=bool(ok), elbo_err=float(err_elbo),
                     rmse=rmse, func_count=res.func_count,
-                    iters=res.iterations)
+                    iters=res.iterations,
+                    elapsed_s=round(time.monotonic() - t_blk, 1))
     except Exception as e:  # a failing block must not kill the bench
         import traceback
         traceback.print_exc(file=sys.stderr)
         return dict(name=blk["name"], ok=False, elbo_err=float("nan"),
                     rmse=float("nan"), func_count=0, iters=0,
+                    elapsed_s=round(time.monotonic() - t_blk, 1),
                     error=f"{type(e).__name__}: {e}")
 
 
-def run_stress_block(seed=7, max_fun_evals=300):
+def run_stress_block(seed=7, max_fun_evals=300, warm_deadline=None):
     """D=10 / K→50 stress config (BASELINE.json: 'D=10, K=50 mixture
     posterior stress test'): anisotropic MVN, N>250 GP, K up to
     neff^(2/3)~45, final boost to 50. Reports seconds per VBMC iteration —
@@ -180,16 +205,26 @@ def run_stress_block(seed=7, max_fun_evals=300):
         return float(-0.5 * np.sum((x / sd) ** 2)
                      - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)))
 
-    opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals, seed=seed,
-                       min_final_components=50)
+    warmed = False
     # Steady-state warm-up (same seed => identical trajectory): the D=10
     # buckets are unique to this block, so without it the timed region pays
     # every compile. Skippable via VBMC_BENCH_STRESS_WARM=0; off on CPU
     # (compiles there are cheap and the double run is compute-bound).
+    # Budget-capped via the OutputFcn stop protocol.
     if os.environ.get("VBMC_BENCH_STRESS_WARM", "1") == "1" and \
             jax.default_backend() != "cpu":
+        def _stop(info):
+            return warm_deadline is not None and \
+                time.monotonic() > warm_deadline
+        wopts = VBMCOptions(display="off", max_fun_evals=max_fun_evals,
+                            seed=seed, min_final_components=50,
+                            output_fcn=_stop)
         vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
-             pub=np.full(D, 4.0), options=opts)
+             pub=np.full(D, 4.0), options=wopts)
+        warmed = True
+
+    opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals, seed=seed,
+                       min_final_components=50)
     t0 = time.monotonic()
     res = vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
                pub=np.full(D, 4.0), options=opts)
@@ -199,7 +234,7 @@ def run_stress_block(seed=7, max_fun_evals=300):
     rmse = float(np.sqrt(np.mean(np.asarray(mean) ** 2)))
     out = dict(elapsed_s=round(elapsed, 1), iters=res.iterations,
                s_per_iter=round(elapsed / max(res.iterations, 1), 2),
-               func_count=res.func_count,
+               func_count=res.func_count, warmed=warmed,
                elbo_err=round(float(err_elbo), 3), rmse=round(rmse, 3),
                ok=bool(err_elbo < 1.0 and rmse < 0.5),
                K=int(np.sum(np.asarray(res.vp_train.kmask))))
@@ -219,10 +254,24 @@ def run_stress_block(seed=7, max_fun_evals=300):
     return out
 
 
+def _emit(value, detail):
+    """Print one headline JSON line (the driver parses the LAST one)."""
+    print(json.dumps({
+        "metric": "selftest_speedup",
+        "value": round(value, 3),
+        "unit": "x",
+        "vs_baseline": round(value, 3),
+        "detail": detail,
+    }), flush=True)
+
+
 def main():
     blocks = _blocks()
     n_blocks = int(os.environ.get("VBMC_BENCH_BLOCKS", len(blocks)))
     blocks = blocks[:n_blocks]
+    baseline_scaled = MATLAB_BASELINE_TOTAL * len(blocks) / MATLAB_BLOCKS
+    detail = {"budget_s": BUDGET_S,
+              "baseline_s_scaled": round(baseline_scaled, 1)}
 
     # Warm-up (accelerator path): a FULL-CONFIG run of every block with the
     # SAME seed as its measured run, so the exact trajectory the timed pass
@@ -236,20 +285,44 @@ def main():
     # the persistent cache. On CPU (cheap local compiles, compute-bound
     # blocks) only one small warm-up run is done instead — a full same-seed
     # pass would double the suite's CPU time for little compile benefit.
-    # VBMC_BENCH_WARM_EVALS shrinks the warm-up runs.
+    # Warm-up is CAPPED: runs abort (OutputFcn stop) at the warm deadline so
+    # a slow-compile environment still reaches the measured pass in budget.
     t_warm = time.monotonic()
     par_warm = os.environ.get("VBMC_BENCH_PARALLEL", "auto") != "0" and \
         jax.default_backend() != "cpu"
     warm_evals = int(os.environ.get("VBMC_BENCH_WARM_EVALS", "100"))
+    warm_budget = float(os.environ.get("VBMC_BENCH_WARMUP_BUDGET_S",
+                                       str(min(900.0, BUDGET_S * 0.6))))
+    # Never let warm-up eat into the minimum needed for a measured pass.
+    warm_deadline = T0 + min(warm_budget, BUDGET_S - 240.0)
     if par_warm:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=len(blocks)) as ex:
-            list(ex.map(lambda ib: run_block(dict(ib[1]), seed=ib[0] + 1,
-                                             max_fun_evals=warm_evals),
-                        enumerate(blocks)))
+            warm_results = list(ex.map(
+                lambda ib: run_block(dict(ib[1]), seed=ib[0] + 1,
+                                     max_fun_evals=warm_evals,
+                                     deadline=warm_deadline),
+                enumerate(blocks)))
     else:
-        run_block(dict(blocks[1 % len(blocks)]), seed=99, max_fun_evals=30)
+        warm_results = [run_block(dict(blocks[1 % len(blocks)]), seed=99,
+                                  max_fun_evals=30, deadline=warm_deadline)]
     warm_s = time.monotonic() - t_warm
+    warm_aborted = time.monotonic() > warm_deadline
+    detail["warmup_s"] = round(warm_s, 1)
+    detail["warmup_aborted"] = bool(warm_aborted)
+    detail["warmup_per_block_s"] = {r["name"]: r.get("elapsed_s")
+                                    for r in warm_results}
+    print(f"# warmup {warm_s:.1f}s aborted={warm_aborted} per-block="
+          f"{detail['warmup_per_block_s']}", file=sys.stderr, flush=True)
+
+    # A first JSON line lands NOW: the warm pass is itself a full same-seed
+    # suite run, so its wall-clock is an honest COLD measurement. Any later
+    # stage can only refine this.
+    if par_warm and not warm_aborted:
+        n_warm_ok = sum(r["ok"] for r in warm_results)
+        detail_cold = dict(detail, stage="warmup_only",
+                           accuracy_passed=n_warm_ok, blocks=len(blocks))
+        _emit(baseline_scaled / warm_s, detail_cold)
 
     # On an accelerator the blocks run CONCURRENTLY in threads: the runs are
     # independent, per-dispatch tunnel latency (~30 ms) and remote compiles
@@ -276,7 +349,6 @@ def main():
     elapsed = time.monotonic() - t0
 
     n_ok = sum(r["ok"] for r in results)
-    baseline_scaled = MATLAB_BASELINE_TOTAL * len(blocks) / MATLAB_BLOCKS
     speedup = baseline_scaled / elapsed
 
     for r in results:
@@ -284,28 +356,44 @@ def main():
               f"rmse={r['rmse']:.3f} fevals={r['func_count']} "
               f"iters={r['iters']}", file=sys.stderr)
     print(f"# elapsed={elapsed:.1f}s warmup={warm_s:.1f}s "
-          f"accuracy={n_ok}/{len(results)}", file=sys.stderr)
+          f"accuracy={n_ok}/{len(results)}", file=sys.stderr, flush=True)
 
-    detail = {
+    detail.update({
+        "stage": "suite",
         "elapsed_s": round(elapsed, 1),
-        "warmup_s": round(warm_s, 1),
         # Cold-cache story: a first-ever run pays the compiles too.
         "cold_total_s": round(warm_s + elapsed, 1),
         "cold_speedup": round(baseline_scaled / (warm_s + elapsed), 3),
         "blocks": len(results),
         "accuracy_passed": n_ok,
-        "baseline_s_scaled": round(baseline_scaled, 1),
-    }
+    })
+    # The measured suite result is the headline — emit it IMMEDIATELY so a
+    # harness timeout during the stress block or seed sweep cannot void it.
+    _emit(speedup, detail)
 
     # Optional D=10/K=50 stress block (BASELINE.md per-iteration target);
-    # run after the headline measurement so it cannot perturb it.
+    # run after the headline measurement so it cannot perturb it. Needs
+    # ~400 s warm (first time; cached-compile reruns far less) + ~190 s
+    # measured on TPU.
     if os.environ.get("VBMC_BENCH_STRESS", "1") == "1":
-        print("# >> stress block d10 start", file=sys.stderr, flush=True)
-        try:
-            detail["stress_d10"] = run_stress_block()
-            print(f"# stress_d10: {detail['stress_d10']}", file=sys.stderr)
-        except Exception as e:
-            detail["stress_d10"] = {"error": f"{type(e).__name__}: {e}"}
+        if _remaining() < 150.0:
+            detail["stress_d10"] = {"skipped": f"budget exhausted "
+                                    f"({_remaining():.0f}s left)"}
+            print(f"# stress_d10 skipped: {_remaining():.0f}s left",
+                  file=sys.stderr, flush=True)
+        else:
+            print(f"# >> stress block d10 start ({_remaining():.0f}s left)",
+                  file=sys.stderr, flush=True)
+            try:
+                # Leave ~200 s for the measured stress run after warm-up.
+                stress_warm_deadline = T0 + BUDGET_S - 200.0
+                detail["stress_d10"] = run_stress_block(
+                    warm_deadline=stress_warm_deadline)
+                print(f"# stress_d10: {detail['stress_d10']}",
+                      file=sys.stderr, flush=True)
+            except Exception as e:
+                detail["stress_d10"] = {"error": f"{type(e).__name__}: {e}"}
+            _emit(speedup, detail)
 
     # Multi-seed statistical acceptance (SURVEY §7: validation must be
     # statistical over seeds, not single-trajectory): n extra seeds per
@@ -313,16 +401,28 @@ def main():
     n_seeds = int(os.environ.get("VBMC_BENCH_SEEDS",
                                  "5" if jax.default_backend() != "cpu"
                                  else "0"))
+    if n_seeds > 0 and _remaining() < 240.0:
+        detail["seeds"] = {"skipped": f"budget exhausted "
+                           f"({_remaining():.0f}s left)"}
+        print(f"# seed sweep skipped: {_remaining():.0f}s left",
+              file=sys.stderr, flush=True)
+        _emit(speedup, detail)
+        n_seeds = 0
     if n_seeds > 0:
         print(f"# >> seed sweep start ({n_seeds} seeds x {len(blocks)} "
-              f"blocks)", file=sys.stderr, flush=True)
+              f"blocks, {_remaining():.0f}s left)", file=sys.stderr,
+              flush=True)
         t_seeds = time.monotonic()
         from concurrent.futures import ThreadPoolExecutor
+        # Seed runs honor the global budget (they abort via OutputFcn).
+        seed_deadline = T0 + BUDGET_S - 30.0
         jobs = [(blk, 101 + 13 * s + i)
                 for s in range(n_seeds)
                 for i, blk in enumerate(blocks)]
         with ThreadPoolExecutor(max_workers=min(len(jobs), 12)) as ex:
-            sweep = list(ex.map(lambda j: run_block(j[0], seed=j[1]), jobs))
+            sweep = list(ex.map(lambda j: run_block(j[0], seed=j[1],
+                                                    deadline=seed_deadline),
+                                jobs))
         n_pass = sum(r["ok"] for r in sweep)
         per_block = {}
         for r in sweep:
@@ -339,16 +439,10 @@ def main():
             "worst_elbo_err": round(worst_elbo, 3),
             "worst_rmse": round(worst_rmse, 3),
             "elapsed_s": round(time.monotonic() - t_seeds, 1),
+            "aborted": bool(time.monotonic() > seed_deadline),
         }
         print(f"# seeds: {detail['seeds']}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "selftest_speedup",
-        "value": round(speedup, 3),
-        "unit": "x",
-        "vs_baseline": round(speedup, 3),
-        "detail": detail,
-    }))
+        _emit(speedup, detail)
 
 
 if __name__ == "__main__":

@@ -6,6 +6,19 @@ Reports per-kernel wall time and achieved FLOP rates for:
   3. one ELBO value-and-gradient step (Bayesian quadrature + entropy)
   4. one GP hyperparameter slice-sampling sweep (sequential scan)
 
+Each JSON row carries BOTH timings:
+  ms_pipelined — many dispatches in flight, block at the end (device
+                 throughput; hides per-dispatch host/tunnel latency)
+  ms_single    — one dispatch, block_until_ready (what a latency-bound
+                 caller sees; includes the ~30 ms TPU tunnel round trip)
+plus {flops, tflops, peak_tflops, mfu, dtype, precision, device}. `mfu` is
+achieved/peak against the documented chip peak for the MXU-native dtype
+(see BASELINE.md "Device peaks"); for float32 matmul-precision=highest
+workloads the MXU runs a multi-pass bf16 decomposition, so `mfu_f32roof`
+additionally reports achieved/measured-f32-highest-matmul-roofline (the
+roofline itself is measured in-process at startup and recorded in the
+`device_probe` row).
+
 Usage: python bench_kernels.py [N] [S] [K] [M]
 Prints one JSON line per kernel (stderr has human-readable detail).
 """
@@ -21,8 +34,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Documented per-chip peak dense matmul throughput, TFLOP/s, for the
+# MXU-native dtype (bf16 inputs, f32 accumulate). Sources: Google Cloud TPU
+# system-architecture docs / TPU product pages (also quoted in the public
+# "How to Scale Your Model" book, jax-ml.github.io/scaling-book).
+DOCUMENTED_PEAK_BF16 = {
+    "TPU v2": 45.0,
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+    "TPU7x": 2307.0,
+}
 
-def _time(fn, *args, reps=10):
+
+def peak_for(device_kind: str):
+    for k, v in DOCUMENTED_PEAK_BF16.items():
+        if device_kind.lower().startswith(k.lower()):
+            return v, k
+    return None, None
+
+
+def _time_pipelined(fn, *args, reps=10):
     """Median-of-3 pipelined timing with self-calibrating rep count: reps
     grow until a round takes >= 100 ms, so per-dispatch pipelining effects
     cannot make a kernel look faster than the device can execute it."""
@@ -42,7 +79,31 @@ def _time(fn, *args, reps=10):
         reps *= 4
         t = round_(reps)
     ts = sorted([t] + [round_(reps) for _ in range(2)])
-    return ts[1] / reps
+    return ts[1] / reps, reps
+
+
+def _time_single(fn, *args, reps=7):
+    """Median of `reps` single-dispatch block_until_ready timings — the
+    latency-inclusive cross-check for the pipelined number."""
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.monotonic() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def measure_f32_roofline():
+    """Measured f32 matmul-precision=highest matmul throughput (TFLOP/s) —
+    the realistic roofline for this suite's GP linear algebra, which runs
+    at highest precision (bf16 MXU passes corrupt the quadrature
+    covariance; see CLAUDE.md)."""
+    n = 2048
+    a = jnp.ones((n, n), jnp.float32)
+    f = jax.jit(lambda x: jnp.dot(x, x, precision=jax.lax.Precision.HIGHEST))
+    t, _ = _time_pipelined(f, a)
+    return 2 * n ** 3 / t / 1e12
 
 
 def main():
@@ -74,15 +135,31 @@ def main():
     hyps += 0.03 * rng.standard_normal(hyps.shape)
     gp = gp_from_host(cfg, X, y, None, hyps, n_bucket=N, s_bucket=S)
     dtype = gp.X.dtype
-    dev = jax.devices()[0].platform
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    precision = str(jax.config.jax_default_matmul_precision)
+    peak_bf16, peak_key = peak_for(str(kind))
+    f32_roof = measure_f32_roofline()
+    probe = {"metric": "device_probe", "value": round(f32_roof, 2),
+             "unit": "TFLOP/s_f32_highest_matmul_2048",
+             "device": str(kind), "platform": dev.platform,
+             "documented_peak_bf16_tflops": peak_bf16,
+             "documented_peak_source":
+                 "Google Cloud TPU system architecture docs"
+                 if peak_bf16 else None,
+             "dtype": str(dtype), "precision": precision}
+    print(f"# device {kind} ({dev.platform}): documented bf16 peak = "
+          f"{peak_bf16} TFLOP/s, measured f32-highest matmul roofline = "
+          f"{f32_roof:.1f} TFLOP/s", file=sys.stderr)
+    print(json.dumps(probe))
 
     results = []
 
     # 1. posterior build: S x (chol(N,N) + inverse) ~ S * (N^3/3 + N^3)
-    t = _time(lambda: _build_gp_jit(cfg, gp.X, gp.y, gp.s2, gp.mask, gp.hyp,
-                                    gp.hyp_mask))
+    fn1 = lambda: _build_gp_jit(cfg, gp.X, gp.y, gp.s2, gp.mask, gp.hyp,
+                                gp.hyp_mask)
     flops = S * (N ** 3 / 3 + N ** 3 + 2 * N ** 2 * D)
-    results.append(("gp_posterior_build", t, flops))
+    results.append(("gp_posterior_build", fn1, (), flops))
 
     # 2. acquisition sweep
     trinfo = create_trinfo([-np.inf] * D, [np.inf] * D, [-2.0] * D, [2.0] * D)
@@ -96,17 +173,16 @@ def main():
         gp_length_scale=jnp.ones(D, dtype=dtype),
         var_log_joint=jnp.ones(S, dtype=dtype),
         regularize=jnp.asarray(True))
-    t = _time(lambda: evaluate_acquisition(cfg, "prospective", Xs, vp, gp,
-                                           state))
+    fn2 = lambda: evaluate_acquisition(cfg, "prospective", Xs, vp, gp, state)
     # per sample: kernel cross N*M*D, Binv@ks N*N*M, products 2*N*M
     flops = S * (2 * N * M * D + 2 * N * N * M + 4 * N * M) + 2 * K * M * D
-    results.append(("acquisition_sweep_8k", t, flops))
+    results.append(("acquisition_sweep_8k", fn2, (), flops))
 
     # 2b. fused Pallas acquisition sweep (TPU only).
-    if dev == "tpu" and M % 256 == 0:
+    if dev.platform == "tpu" and M % 256 == 0:
         from vbmc_tpu.pallas_kernels import fused_prospective_acq
-        t = _time(lambda: fused_prospective_acq(cfg, Xs, gp, vp, 0.0, 1e-4))
-        results.append(("acquisition_sweep_8k_pallas", t, flops))
+        fn2b = lambda: fused_prospective_acq(cfg, Xs, gp, vp, 0.0, 1e-4)
+        results.append(("acquisition_sweep_8k_pallas", fn2b, (), flops))
 
     # 2c. VIQR importance-sampling sweep (the noisy-path hot kernel):
     # per sample kma (M,Na), kmx (M,N), kmx @ invK (M,N)x(N,Na), variance
@@ -117,11 +193,11 @@ def main():
     ais = build_is_state_core(key_is, cfg, "viqr", vp, gp, 100, 100, 100,
                               mh_steps=3)
     Na = ais.Xa.shape[0]
-    t = _time(lambda: evaluate_is_acquisition(cfg, "viqr", Xs, vp, gp,
-                                              state, ais))
-    flops = S * (2 * N * M * D + 2 * M * Na * D + 2 * M * N * Na
-                 + 6 * M * Na)
-    results.append(("viqr_sweep_8k", t, flops))
+    fn2c = lambda: evaluate_is_acquisition(cfg, "viqr", Xs, vp, gp, state,
+                                           ais)
+    flops_v = S * (2 * N * M * D + 2 * M * Na * D + 2 * M * N * Na
+                   + 6 * M * Na)
+    results.append(("viqr_sweep_8k", fn2c, (), flops_v))
 
     # 3. ELBO value+grad
     flags = eb.VPFlags(opt_weights=True)
@@ -137,10 +213,9 @@ def main():
             return F
         return jax.value_and_grad(f)(th)
 
-    t = _time(elbo_step, theta)
     # z matrix 2x(S,K,N) einsums over D + J data term 2 GEMMs (S,K,N)x(N,N)
-    flops = 2 * (S * (4 * K * N * D) + S * (2 * K * N * N + 2 * K * K * N))
-    results.append(("elbo_value_and_grad", t, flops))
+    flops_e = 2 * (S * (4 * K * N * D) + S * (2 * K * N * N + 2 * K * K * N))
+    results.append(("elbo_value_and_grad", elbo_step, (theta,), flops_e))
 
     # 4. one slice-sampling sweep over all hyperparameters
     from vbmc_tpu.gp import core as gcore
@@ -157,17 +232,34 @@ def main():
         hi = h + 10.0
         return _slice_sweep(k, logp, h, logp(h), widths, lo, hi)
 
-    t = _time(sweep, jax.random.PRNGKey(1), prior_mu, reps=3)
-    flops = cfg.nhyp * 4 * (N ** 3 / 3)   # ~4 nlZ evals per coordinate
-    results.append(("slice_sweep_nlz", t, flops))
+    flops_s = cfg.nhyp * 4 * (N ** 3 / 3)   # ~4 nlZ evals per coordinate
+    results.append(("slice_sweep_nlz", sweep,
+                    (jax.random.PRNGKey(1), prior_mu), flops_s))
 
-    for name, t, flops in results:
-        gf = flops / t / 1e9
-        print(f"# {name}: {t*1e3:8.2f} ms  ~{gf:9.1f} GFLOP/s", file=sys.stderr)
-        print(json.dumps({"metric": f"kernel_{name}_ms",
-                          "value": round(t * 1e3, 3), "unit": "ms",
-                          "vs_baseline": round(gf, 1),
-                          "device": dev, "N": N, "S": S, "K": K, "M": M}))
+    for name, fn, args, flops in results:
+        t_pipe, reps = _time_pipelined(fn, *args)
+        t_single = _time_single(fn, *args)
+        tflops = flops / t_pipe / 1e12
+        row = {"metric": f"kernel_{name}_ms",
+               "value": round(t_pipe * 1e3, 3), "unit": "ms",
+               "ms_pipelined": round(t_pipe * 1e3, 3),
+               "ms_single": round(t_single * 1e3, 3),
+               "pipeline_reps": reps,
+               "flops": int(flops),
+               "tflops": round(tflops, 3),
+               "dtype": str(dtype), "precision": precision,
+               "device": str(kind), "N": N, "S": S, "K": K, "M": M}
+        if peak_bf16:
+            row["peak_tflops"] = peak_bf16
+            row["mfu"] = round(tflops / peak_bf16, 4)
+        if f32_roof:
+            row["mfu_f32roof"] = round(tflops / f32_roof, 4)
+        print(f"# {name}: {t_pipe*1e3:8.3f} ms pipelined / "
+              f"{t_single*1e3:8.3f} ms single  ~{tflops:8.3f} TFLOP/s  "
+              f"mfu={row.get('mfu', float('nan')):.4f} "
+              f"mfu_f32roof={row.get('mfu_f32roof', float('nan')):.4f}",
+              file=sys.stderr)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

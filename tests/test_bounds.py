@@ -68,10 +68,28 @@ def _quad(x):
 
 
 def test_unsupported_gp_mean_fun_clear_error():
-    opts = VBMCOptions(display="off", gp_mean_fun="negquadfix")
+    opts = VBMCOptions(display="off", gp_mean_fun="negquadfixmumble")
     with pytest.raises(ValueError, match="gp_mean_fun.*not supported"):
         vbmc(_quad, x0=np.zeros(2), plb=np.full(2, -2.0),
              pub=np.full(2, 2.0), options=opts)
+
+
+def test_negquadfix_mean_fun_runs():
+    # The fixed-center families (ids 10/12/14, `gplite_meanfun.m:8-17`) are
+    # supported as of round 4 — a tiny-budget run must complete end to end
+    # (the mean-family math itself is covered by tests/test_gp_meanfix.py).
+    opts = VBMCOptions(display="off", gp_mean_fun="negquadfix",
+                       max_fun_evals=20, seed=0)
+    res = vbmc(_quad, x0=np.zeros(2), plb=np.full(2, -2.0),
+               pub=np.full(2, 2.0), options=opts)
+    assert np.isfinite(res.elbo)
+
+
+def test_unsupported_temperature_clear_error():
+    # `vbmc_power.m:64-65` limit, surfaced at option validation time so a
+    # temperature=3 run cannot burn its initial design before crashing.
+    with pytest.raises(ValueError, match="temperature must be 1 or 2"):
+        VBMCOptions(display="off", temperature=3).resolve(2)
 
 
 def test_unsupported_bounded_transform_clear_error():

@@ -19,7 +19,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vbmc_tpu.gp.config import GPConfig, MEAN_NEGQUAD, MEAN_CONST, MEAN_SE
+from vbmc_tpu.gp.config import (
+    GPConfig, MEAN_NEGQUAD, MEAN_CONST, MEAN_SE, MEAN_NEGQUADFIXISO,
+    MEAN_NEGQUADFIX, MEAN_NEGQUADSEFIX, MEAN_NEGQUADMIX)
 from vbmc_tpu.gp import core
 from vbmc_tpu.gp.gp import GP, HypPrior, build_gp
 from vbmc_tpu.gp.means import mean_info
@@ -157,7 +159,11 @@ def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     plb[sl], pub[sl] = minfo["plb"], minfo["pub"]
     x0[sl] = minfo["x0"]
     i_m = cfg.ncov + cfg.nnoise
-    if cfg.meanfun == MEAN_NEGQUAD and opts.quadratic_mean_bound:
+    if cfg.meanfun in (MEAN_NEGQUAD, MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
+                       MEAN_NEGQUADSEFIX, MEAN_NEGQUADMIX) \
+            and opts.quadratic_mean_bound:
+        # gpQuadraticMeanBound applies to every quadratic family the
+        # reference trains: meanfuns {4,10,12,14,22} (gptrain_vbmc.m:186-203).
         deltay = max(opts.tol_sd, min(D, yh.max() - yh.min()))
         ub[i_m] = yh.max() + deltay
     elif cfg.meanfun == MEAN_CONST:
@@ -165,6 +171,24 @@ def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     elif cfg.meanfun == MEAN_SE:
         x0[i_m] = y.min()
         ub[i_m] = yh.min()
+    if cfg.meanfun == MEAN_NEGQUADSEFIX:
+        # Tighter SE-rescale bounds + Student-t priors on alpha_se/h_se
+        # (gptrain_vbmc.m:190-193,291-296) — without them h_se roams to 1e4
+        # and the fit is far less regularized than the reference.
+        i_a, i_h = i_m + D + 1, i_m + D + 2
+        ub[i_a] = np.log(1.0)
+        lb[i_a] = np.log(1e-3)
+        mu[i_a], sigma[i_a] = np.log(0.1), np.log(10.0)
+        mu[i_h], sigma[i_h] = np.log(0.1), np.log(100.0)
+    elif cfg.meanfun == MEAN_NEGQUADMIX:
+        # t-priors on the mixture shape hyps hm/rho/beta
+        # (gptrain_vbmc.m:221-230); deltay uses the FULL y range there.
+        deltay_all = float(np.asarray(y, float).max()
+                           - np.asarray(y, float).min())
+        i_hm = i_m + 2 * D + 1
+        mu[i_hm], sigma[i_hm] = 0.0, max(0.5 * deltay_all, 1e-3)
+        mu[i_hm + 1], sigma[i_hm + 1] = 0.0, 1.0     # log rho
+        mu[i_hm + 2], sigma[i_hm + 2] = 0.0, 1.0     # log beta
 
     # --- output warp (gptrain:246-270) ---
     if cfg.noutwarp > 0:

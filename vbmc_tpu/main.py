@@ -819,11 +819,16 @@ def vbmc(fun: Callable, x0=None, lb=None, ub=None, plb=None, pub=None,
             hedge.update(impro, opt.fun_evals_per_iter)
 
         if opt.output_fcn is not None:
-            opt.output_fcn(dict(iteration=it, elbo=elbo, elbo_sd=elbo_sd,
-                                sKL=sKL, K=state.vp_K, rindex=state.R,
-                                func_count=logger.func_count, vp=vp,
-                                warmup=state.warmup,
-                                timer=stats.last.timer))
+            # Reference parity (`vbmc.m:853-858`): an OutputFcn returning
+            # true stops the run after the current iteration.
+            stop_req = opt.output_fcn(dict(
+                iteration=it, elbo=elbo, elbo_sd=elbo_sd,
+                sKL=sKL, K=state.vp_K, rindex=state.R,
+                func_count=logger.func_count, vp=vp,
+                warmup=state.warmup, timer=stats.last.timer))
+            if stop_req:
+                is_finished = True
+                msg = msg or "Inference stopped by the user OutputFcn."
 
         # Live iteration plot (`private/vbmc_iterplot.m`).
         if opt.plot:

@@ -353,8 +353,14 @@ class ResolvedOptions:
         self.max_iter = max(self.max_iter, self.min_iter)
         self.max_fun_evals = max(self.max_fun_evals, self.min_fun_evals)
 
-        if not (1 <= self.temperature <= 4):
-            raise ValueError("temperature must be an integer in 1..4")
+        # Only n in {1,2} is implemented (vp_power product mixtures); the
+        # reference has the same limit but fails late with a named error
+        # (`vbmc_power.m:64-65`). Reject up front so a run never burns its
+        # initial design before crashing at the first vp_train2real call.
+        if self.temperature not in (1, 2):
+            raise ValueError(
+                "temperature must be 1 or 2 (power posteriors vp^n are "
+                "implemented for n<=2 only, matching vbmc_power.m:64-65)")
 
         # Options accepted for reference-API parity whose behavior is FIXED
         # by design in this implementation (the TPU redesign replaces the
