@@ -59,39 +59,84 @@ def peak_for(device_kind: str):
     return None, None
 
 
-def _time_pipelined(fn, *args, reps=10):
-    """Median-of-3 pipelined timing with self-calibrating rep count: reps
-    grow until a round takes >= 100 ms, so per-dispatch pipelining effects
-    cannot make a kernel look faster than the device can execute it."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _fetch_scalar(out):
+    """Pull ONE element of the output back to the host. This is the only
+    reliable execution barrier through the axon TPU tunnel:
+    `block_until_ready` there returns at remote ENQUEUE, not completion
+    (measured: it reported a 2.9 ms 8192^3 bf16 matmul = 44,000 TFLOP/s,
+    224x the documented chip peak). A value fetch forces real execution of
+    the whole in-order program queue."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[0])
 
-    def round_(r):
+
+def _time_pipelined(make_call, reps=16):
+    """Throughput timing that survives the async tunnel: dispatch R
+    *distinct* calls (``make_call(i)`` perturbs an input per rep, defeating
+    any dispatch-level result caching), fetch a scalar from the LAST output
+    (the device executes programs in order, so this waits for all R), and
+    difference against the one-dispatch time to cancel the fetch/tunnel
+    latency. Self-calibrates R until the differenced time is >= 200 ms."""
+    _fetch_scalar(make_call(0))   # warm/compile
+
+    def run(R):
         t0 = time.monotonic()
         o = None
-        for _ in range(r):
-            o = fn(*args)
-        jax.block_until_ready(o)
+        for i in range(R):
+            o = make_call(i)
+        _fetch_scalar(o)
         return time.monotonic() - t0
 
-    t = round_(reps)
-    while t < 0.1 and reps < 4096:
+    t1 = min(run(1) for _ in range(3))
+    tR = run(reps)
+    while tR - t1 < 0.1 and reps < 512:
         reps *= 4
-        t = round_(reps)
-    ts = sorted([t] + [round_(reps) for _ in range(2)])
-    return ts[1] / reps, reps
+        tR = run(reps)
+    tR = min(tR, run(reps))
+    return max((tR - t1) / (reps - 1), 1e-9), reps
 
 
-def _time_single(fn, *args, reps=7):
-    """Median of `reps` single-dispatch block_until_ready timings — the
-    latency-inclusive cross-check for the pipelined number."""
-    jax.block_until_ready(fn(*args))
+def _time_single(make_call, reps=5):
+    """Median single-dispatch latency-inclusive timing (dispatch + execute
+    + one-scalar fetch through the tunnel) — what a blocking caller sees."""
+    _fetch_scalar(make_call(0))
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.monotonic()
-        jax.block_until_ready(fn(*args))
+        _fetch_scalar(make_call(i + 1))
         ts.append(time.monotonic() - t0)
     return sorted(ts)[len(ts) // 2]
+
+
+def _matmul_roofline(n, dtype, precision, r_lo=4, r_hi=20):
+    """Measured dense-matmul throughput (TFLOP/s) via two in-program
+    chained-matmul loops of different static lengths, differenced to cancel
+    dispatch/fetch latency. The chain (z -> 0.5*z@x) is data-dependent so
+    nothing can be elided or deduplicated."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)) * (1.5 / np.sqrt(n)),
+                    dtype)
+
+    def make(R):
+        @jax.jit
+        def f(x):
+            def body(i, y):
+                return 0.5 * jnp.dot(y, x, precision=precision)
+            return jax.lax.fori_loop(0, R, body, x)
+        return f
+
+    f_lo, f_hi = make(r_lo), make(r_hi)
+    _fetch_scalar(f_lo(a)), _fetch_scalar(f_hi(a))
+
+    def t(f):
+        t0 = time.monotonic()
+        _fetch_scalar(f(a))
+        return time.monotonic() - t0
+
+    t_lo = min(t(f_lo) for _ in range(3))
+    t_hi = min(t(f_hi) for _ in range(3))
+    per = max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
+    return 2 * n ** 3 / per / 1e12
 
 
 def measure_f32_roofline():
@@ -99,11 +144,15 @@ def measure_f32_roofline():
     the realistic roofline for this suite's GP linear algebra, which runs
     at highest precision (bf16 MXU passes corrupt the quadrature
     covariance; see CLAUDE.md)."""
-    n = 2048
-    a = jnp.ones((n, n), jnp.float32)
-    f = jax.jit(lambda x: jnp.dot(x, x, precision=jax.lax.Precision.HIGHEST))
-    t, _ = _time_pipelined(f, a)
-    return 2 * n ** 3 / t / 1e12
+    return _matmul_roofline(4096, jnp.float32, jax.lax.Precision.HIGHEST)
+
+
+def measure_bf16_peak():
+    """Measured bf16 dense-matmul throughput — cross-check against the
+    documented chip peak (should land within ~2x of it; if it exceeds the
+    documented peak the TIMER is broken, which is exactly the failure mode
+    this harness is built to catch)."""
+    return _matmul_roofline(8192, jnp.bfloat16, jax.lax.Precision.DEFAULT)
 
 
 def main():
@@ -140,26 +189,36 @@ def main():
     precision = str(jax.config.jax_default_matmul_precision)
     peak_bf16, peak_key = peak_for(str(kind))
     f32_roof = measure_f32_roofline()
+    bf16_meas = measure_bf16_peak()
     probe = {"metric": "device_probe", "value": round(f32_roof, 2),
-             "unit": "TFLOP/s_f32_highest_matmul_2048",
+             "unit": "TFLOP/s_f32_highest_matmul_4096",
              "device": str(kind), "platform": dev.platform,
              "documented_peak_bf16_tflops": peak_bf16,
              "documented_peak_source":
                  "Google Cloud TPU system architecture docs"
                  if peak_bf16 else None,
+             "measured_bf16_matmul_tflops": round(bf16_meas, 2),
+             "measured_bf16_frac_of_documented":
+                 round(bf16_meas / peak_bf16, 3) if peak_bf16 else None,
              "dtype": str(dtype), "precision": precision}
     print(f"# device {kind} ({dev.platform}): documented bf16 peak = "
-          f"{peak_bf16} TFLOP/s, measured f32-highest matmul roofline = "
+          f"{peak_bf16} TFLOP/s, measured bf16 matmul = {bf16_meas:.1f} "
+          f"TFLOP/s, measured f32-highest matmul roofline = "
           f"{f32_roof:.1f} TFLOP/s", file=sys.stderr)
+    if peak_bf16 and bf16_meas > 1.2 * peak_bf16:
+        print("# WARNING: measured bf16 exceeds documented peak — timer "
+              "is broken, do not trust the rows below", file=sys.stderr)
     print(json.dumps(probe))
 
     results = []
 
     # 1. posterior build: S x (chol(N,N) + inverse) ~ S * (N^3/3 + N^3)
-    fn1 = lambda: _build_gp_jit(cfg, gp.X, gp.y, gp.s2, gp.mask, gp.hyp,
-                                gp.hyp_mask)
+    # Every make_call perturbs one input per rep (i) so repeated dispatches
+    # can never be served from any dispatch-level cache in the tunnel.
+    fn1 = lambda i: _build_gp_jit(cfg, gp.X, gp.y, gp.s2, gp.mask,
+                                  gp.hyp + i * 1e-12, gp.hyp_mask)
     flops = S * (N ** 3 / 3 + N ** 3 + 2 * N ** 2 * D)
-    results.append(("gp_posterior_build", fn1, (), flops))
+    results.append(("gp_posterior_build", fn1, flops))
 
     # 2. acquisition sweep
     trinfo = create_trinfo([-np.inf] * D, [np.inf] * D, [-2.0] * D, [2.0] * D)
@@ -173,16 +232,18 @@ def main():
         gp_length_scale=jnp.ones(D, dtype=dtype),
         var_log_joint=jnp.ones(S, dtype=dtype),
         regularize=jnp.asarray(True))
-    fn2 = lambda: evaluate_acquisition(cfg, "prospective", Xs, vp, gp, state)
+    fn2 = lambda i: evaluate_acquisition(cfg, "prospective", Xs + i * 1e-12,
+                                         vp, gp, state)
     # per sample: kernel cross N*M*D, Binv@ks N*N*M, products 2*N*M
     flops = S * (2 * N * M * D + 2 * N * N * M + 4 * N * M) + 2 * K * M * D
-    results.append(("acquisition_sweep_8k", fn2, (), flops))
+    results.append(("acquisition_sweep_8k", fn2, flops))
 
     # 2b. fused Pallas acquisition sweep (TPU only).
     if dev.platform == "tpu" and M % 256 == 0:
         from vbmc_tpu.pallas_kernels import fused_prospective_acq
-        fn2b = lambda: fused_prospective_acq(cfg, Xs, gp, vp, 0.0, 1e-4)
-        results.append(("acquisition_sweep_8k_pallas", fn2b, (), flops))
+        fn2b = lambda i: fused_prospective_acq(cfg, Xs + i * 1e-12, gp, vp,
+                                               0.0, 1e-4)
+        results.append(("acquisition_sweep_8k_pallas", fn2b, flops))
 
     # 2c. VIQR importance-sampling sweep (the noisy-path hot kernel):
     # per sample kma (M,Na), kmx (M,N), kmx @ invK (M,N)x(N,Na), variance
@@ -193,11 +254,11 @@ def main():
     ais = build_is_state_core(key_is, cfg, "viqr", vp, gp, 100, 100, 100,
                               mh_steps=3)
     Na = ais.Xa.shape[0]
-    fn2c = lambda: evaluate_is_acquisition(cfg, "viqr", Xs, vp, gp, state,
-                                           ais)
+    fn2c = lambda i: evaluate_is_acquisition(cfg, "viqr", Xs + i * 1e-12,
+                                             vp, gp, state, ais)
     flops_v = S * (2 * N * M * D + 2 * M * Na * D + 2 * M * N * Na
                    + 6 * M * Na)
-    results.append(("viqr_sweep_8k", fn2c, (), flops_v))
+    results.append(("viqr_sweep_8k", fn2c, flops_v))
 
     # 3. ELBO value+grad
     flags = eb.VPFlags(opt_weights=True)
@@ -215,7 +276,8 @@ def main():
 
     # z matrix 2x(S,K,N) einsums over D + J data term 2 GEMMs (S,K,N)x(N,N)
     flops_e = 2 * (S * (4 * K * N * D) + S * (2 * K * N * N + 2 * K * K * N))
-    results.append(("elbo_value_and_grad", elbo_step, (theta,), flops_e))
+    results.append(("elbo_value_and_grad",
+                    lambda i: elbo_step(theta + i * 1e-12), flops_e))
 
     # 4. one slice-sampling sweep over all hyperparameters
     from vbmc_tpu.gp import core as gcore
@@ -233,12 +295,14 @@ def main():
         return _slice_sweep(k, logp, h, logp(h), widths, lo, hi)
 
     flops_s = cfg.nhyp * 4 * (N ** 3 / 3)   # ~4 nlZ evals per coordinate
-    results.append(("slice_sweep_nlz", sweep,
-                    (jax.random.PRNGKey(1), prior_mu), flops_s))
+    results.append(("slice_sweep_nlz",
+                    lambda i: sweep(jax.random.PRNGKey(1),
+                                    prior_mu + i * 1e-12), flops_s))
 
-    for name, fn, args, flops in results:
-        t_pipe, reps = _time_pipelined(fn, *args)
-        t_single = _time_single(fn, *args)
+    for name, fn, flops in results:
+        print(f"# timing {name} ...", file=sys.stderr, flush=True)
+        t_pipe, reps = _time_pipelined(fn)
+        t_single = _time_single(fn)
         tflops = flops / t_pipe / 1e12
         row = {"metric": f"kernel_{name}_ms",
                "value": round(t_pipe * 1e3, 3), "unit": "ms",

@@ -153,6 +153,12 @@ def _z_matrix(cfg: GPConfig, gp: GP, mu, sigma, lam):
 
     Memory-shaped as two (S,K,N) einsums — no (S,K,N,D) temporary.
     """
+    from vbmc_tpu.gp.config import COV_SEARD
+    if cfg.covfun != COV_SEARD:
+        raise ValueError(
+            "the Bayesian-quadrature ELBO requires the SE-ard kernel "
+            "(covfun=1); seiso/Matérn are gplite-library families only, "
+            "as in the reference (`gplogjoint.m` hard-codes SE-ard)")
     D = cfg.D
     log_ell = gp.hyp[:, :D]                       # (S, D)
     ell2 = jnp.exp(2.0 * log_ell)

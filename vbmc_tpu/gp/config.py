@@ -32,8 +32,13 @@ MEAN_NEGQUADMIX = 22      # mixture of inner/outer quadratics (:552-572)
 FIXED_CENTER_MEANFUNS = (MEAN_NEGQUADFIXISO, MEAN_NEGQUADFIX,
                          MEAN_NEGQUADSEFIX, MEAN_NEGQUADFIXONLY)
 
+# Covariance ids follow the reference numbering (`gplite_covfun.m:77-91`):
+# 0 'seiso' (2 hyps), 1 'se' ard (D+1), 3 'matern' ard with degree
+# nu in {1,3,5} carried in `GPConfig.cov_nu` (the reference's covfeat).
+COV_SEISO = 0
 COV_SEARD = 1
-COV_MATERN5 = 3
+COV_MATERN = 3
+COV_MATERN5 = COV_MATERN  # legacy alias (cov_nu defaults to 5)
 
 # Integrated (exactly marginalized) Bayesian-linear mean basis
 # (cf. `gplite/gplite_intmeanfun.m`): 0 off, 1 const, 2 linear,
@@ -55,6 +60,9 @@ OUTWARP_NEGSCALEDPOW = 3
 class GPConfig:
     D: int
     covfun: int = COV_SEARD
+    # Matérn degree (the reference's covfeat, `gplite_covfun.m:195-201`);
+    # only consulted when covfun == COV_MATERN.
+    cov_nu: int = 5
     meanfun: int = MEAN_NEGQUAD
     # Noise feature flags, as in `gplite/gplite_noisefun.m`:
     #  const_noise in {0,1}; user_noise in {0,1,2}; output_noise in {0,1}
@@ -74,8 +82,13 @@ class GPConfig:
     fix_center: tuple = ()
 
     @property
+    def n_ell(self) -> int:
+        """Number of length-scale hyperparameters (1 for iso kernels)."""
+        return 1 if self.covfun == COV_SEISO else self.D
+
+    @property
     def ncov(self) -> int:
-        return self.D + 1
+        return self.n_ell + 1
 
     @property
     def nnoise(self) -> int:
@@ -148,11 +161,11 @@ class GPConfig:
     # --- slices into the hyp vector -------------------------------------
     @property
     def sl_log_ell(self):
-        return slice(0, self.D)
+        return slice(0, self.n_ell)
 
     @property
     def idx_log_sf(self):
-        return self.D
+        return self.n_ell
 
     @property
     def sl_noise(self):

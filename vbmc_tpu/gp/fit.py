@@ -98,11 +98,16 @@ def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     df = np.full(nh, 3.0)
 
     # --- covariance: log ell, log sf (cf. gplite_covfun info) ---
-    lb[:D] = np.log(width) + np.log(ToL)
-    ub[:D] = np.log(width * 10)
-    plb[:D] = np.log(width) + 0.5 * np.log(ToL)
-    pub[:D] = np.log(width)
-    x0[:D] = np.log(np.maximum(X_hpd.std(axis=0, ddof=1), 1e-10))
+    # Iso kernels carry ONE length scale whose stats are dimension means
+    # (`gplite_covfun.m:116-123`); ard kernels get per-dimension stats.
+    ne = cfg.n_ell
+    lw = np.log(width) if ne == D else np.mean(np.log(width))
+    lb[:ne] = lw + np.log(ToL)
+    ub[:ne] = lw + np.log(10.0)
+    plb[:ne] = lw + 0.5 * np.log(ToL)
+    pub[:ne] = lw
+    lsd = np.log(np.maximum(X_hpd.std(axis=0, ddof=1), 1e-10))
+    x0[:ne] = lsd if ne == D else np.mean(lsd)
     i_sf = cfg.idx_log_sf
     lb[i_sf] = np.log(height) + np.log(ToL)
     ub[i_sf] = np.log(height * 10)
@@ -110,15 +115,18 @@ def assemble_hyp_prior(cfg: GPConfig, X: np.ndarray, y: np.ndarray,
     pub[i_sf] = np.log(height)
     x0[i_sf] = np.log(max(np.std(yh, ddof=1), 1e-10))
 
-    if opts.upper_length_factor > 0:
-        ub[:D] = np.log(opts.upper_length_factor * (pub_tr - plb_tr))
+    lplaus = np.log(opts.upper_length_factor * (pub_tr - plb_tr)) \
+        if opts.upper_length_factor > 0 else None
+    if lplaus is not None:
+        ub[:ne] = lplaus if ne == D else np.mean(lplaus)
 
     # Fixed length-scale prior from the plausible box (gptrain:288-289).
     mult = opts.length_prior_mean_mult
     if mult is None:
         mult = np.sqrt(D / 6.0)
-    mu[:D] = np.log(mult * (pub_tr - plb_tr))
-    sigma[:D] = opts.length_prior_std
+    lprior = np.log(mult * (pub_tr - plb_tr))
+    mu[:ne] = lprior if ne == D else np.mean(lprior)
+    sigma[:ne] = opts.length_prior_std
 
     # --- noise (gptrain:143-165, 180) ---
     ninfo = noise_info(cfg, yh)
@@ -306,6 +314,12 @@ def map_sample_assemble_core(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
     if warm:
         x0s_chain = eps_or_cs            # (C, nh) previous posterior samples
     else:
+        # Chain starts scatter by the (possibly rindex-inflated) sampling
+        # widths: on unstable runs this is the mode-discovery mechanism
+        # (the reference gets the same effect from width-inflated
+        # slicesamplebnd brackets, `get_GPTrainOptions.m:42-46`). Chains
+        # stranded in garbage regions are rescued by the log-posterior
+        # filter on the collected samples below.
         x0s_chain = hyp_map[None, :] + eps_or_cs * (0.1 * widths)[None, :]
     x0s_chain = jnp.clip(x0s_chain, prior.lb + 1e-10, prior.ub - 1e-10)
     x0s_chain = x0s_chain.at[0].set(hyp_map)
@@ -324,14 +338,23 @@ def map_sample_assemble_core(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
         return slice_sample_chain(k, logpdf, x0, widths, prior.lb, prior.ub,
                                   n_keep, burn, thin, n_keep_max)
 
-    samples, _ = jax.vmap(run)(keys, x0s_chain)      # (C, keep_max, nh)
+    samples, logps = jax.vmap(run)(keys, x0s_chain)  # (C, keep_max, nh)
     # Interleave chains: sample i of chain c -> position i*C + c.
     flat = jnp.transpose(samples, (1, 0, 2)).reshape(-1, samples.shape[-1])
+    lp_flat = jnp.transpose(logps, (1, 0)).reshape(-1)
     sb = flat.shape[0]
     sel = jnp.arange(sb)[:, None] < ns
-    buf = jnp.where(sel, flat, hyp_map[None, :])
+    # Log-posterior gate: with scattered starts and short per-chain burns,
+    # a chain can strand in a garbage region and its samples would poison
+    # the hyperparameter ensemble (every downstream GP consumer averages
+    # over it). Samples more than 50 nats below the best collected sample
+    # collapse to the MAP point; genuine secondary modes (within a few
+    # nats, e.g. the flat-target negquad-center ambiguity) pass untouched.
+    lp_best = jnp.max(jnp.where(sel[:, 0], lp_flat, -jnp.inf))
+    good = (lp_flat > lp_best - 50.0)[:, None]
+    buf = jnp.where(sel & good, flat, hyp_map[None, :])
     hyp_mask = jnp.arange(sb) < ns
-    return buf, hyp_mask, hyp_map, flat
+    return buf, hyp_mask, hyp_map, jnp.where(good, flat, hyp_map[None, :])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -456,7 +479,20 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         keep_max = sb // C
 
         if opts.widths is not None and opts.widths.size == nh:
-            widths = np.minimum(np.asarray(opts.widths, float), widths_default)
+            # The caller's widths are rindex-INFLATED on unstable runs
+            # (`get_GPTrainOptions.m:42-46`: widthmult = max(GPSampleWidths,
+            # rindex)) — that inflation is the reference's mode-hopping
+            # defense when the GP hyperparameter posterior is multimodal
+            # (e.g. flat targets where the negquad mean center is
+            # ill-identified). Cap only by the finite hyperparameter bound
+            # range, NOT by the design-derived defaults: clipping to the
+            # defaults (as before round 5) neutered the escalation and let
+            # chains sit in one nlZ mode, collapsing the between-sample
+            # ELBO variance.
+            rng_hyp = ub_np - lb_np
+            cap = np.where(np.isfinite(rng_hyp), rng_hyp, np.inf)
+            widths = np.minimum(np.asarray(opts.widths, float),
+                                np.maximum(cap, widths_default))
         else:
             widths = widths_default
         burn = opts.burnin if opts.burnin is not None else opts.thin * ns

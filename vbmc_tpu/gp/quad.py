@@ -28,6 +28,11 @@ def gp_quad(cfg: GPConfig, gp: GP, Xstar: jnp.ndarray, delta: jnp.ndarray,
 
     Returns (fmu (S, M), fs2 (S, M) or None).
     """
+    from vbmc_tpu.gp.config import COV_SEARD
+    if cfg.covfun != COV_SEARD:
+        raise ValueError(
+            "gp_quad closed forms require the SE-ard kernel (covfun=1), "
+            "as in the reference (`gplite_quad.m:37-40`)")
     D = cfg.D
     M = Xstar.shape[0]
     dtype = Xstar.dtype

@@ -161,6 +161,7 @@ def fused_prospective_acq(cfg: GPConfig, Xs, gp, vp, ymax, tol_var,
     Returns raw acquisition values (M,) — hard-bound rejection (original-
     space check) is applied by the caller.
     """
+    assert cfg.covfun == 1, "Pallas kernels hard-code the SE-ard kernel"
     M, D = Xs.shape
     N = gp.n_max
     S = gp.s_max

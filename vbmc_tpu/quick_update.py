@@ -84,7 +84,7 @@ def _quick_full_update(cfg: GPConfig, key, salt, Xp, yp, s2p, mask,
         # reference's looser in-iteration GP tolerances
         # (`activesample_vbmc.m:59-63`).
         sb = hyp_prev.shape[0]
-        C = max(min(4, sb), 1)
+        C = max(min(8, sb), 1)
         while sb % C != 0:
             C -= 1
         chain_starts = hyp_prev[:C]
@@ -289,13 +289,17 @@ class QuickUpdater:
         widths_default = np.maximum(pub_np - plb_np, 1e-3)
         if topts.widths is not None and \
                 np.asarray(topts.widths).size == cfg.nhyp:
+            # Keep the rindex inflation (see gp/fit.py): cap by the finite
+            # bound range, not the plausible-box defaults.
+            rng_hyp = ub_np - lb_np
+            cap = np.where(np.isfinite(rng_hyp), rng_hyp, np.inf)
             widths = np.minimum(np.asarray(topts.widths, float),
-                                widths_default)
+                                np.maximum(cap, widths_default))
         else:
             widths = widths_default
         # Short per-chain burn-in (quick-retrain schedule, burnin=thin*3
         # split over the chains — same as train_gp's chain split).
-        C = max(min(4, sb), 1)
+        C = max(min(8, sb), 1)
         while sb % C != 0:
             C -= 1
         burn = max((topts.thin * 3) // C, topts.thin)

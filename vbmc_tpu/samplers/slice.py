@@ -45,8 +45,13 @@ def _slice_coord(key, logpdf, x, d, logp_x, width, lb, ub):
         i, left, right, go_l, go_r = c
         new_left = jnp.maximum(left - width, lb[d])
         new_right = jnp.minimum(right + width, ub[d])
-        go_l = go_l & (logp_at(left) > log_u) & (left > lb[d])
-        go_r = go_r & (logp_at(right) > log_u) & (right < ub[d])
+        # Left/right bracket evaluations as ONE batched call: the N^3
+        # Cholesky inside the GP logpdf runs as a (2,N,N) batch instead of
+        # two sequential factorizations — halves the sequential depth of
+        # the stepping-out phase (the hyp-sampling hot path).
+        lp = jax.vmap(logp_at)(jnp.stack([left, right]))
+        go_l = go_l & (lp[0] > log_u) & (left > lb[d])
+        go_r = go_r & (lp[1] > log_u) & (right < ub[d])
         left = jnp.where(go_l, new_left, left)
         right = jnp.where(go_r, new_right, right)
         return i + 1, left, right, go_l, go_r
