@@ -217,8 +217,8 @@ def run_stress_block(seed=7, max_fun_evals=300, warm_deadline=None):
             return warm_deadline is not None and \
                 time.monotonic() > warm_deadline
         wopts = VBMCOptions(display="off", max_fun_evals=max_fun_evals,
-                            seed=seed, min_final_components=50,
-                            output_fcn=_stop)
+                            seed=seed, min_fun_evals=max_fun_evals,
+                            min_final_components=50, output_fcn=_stop)
         vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
              pub=np.full(D, 4.0), options=wopts)
         warmed = True
@@ -226,8 +226,23 @@ def run_stress_block(seed=7, max_fun_evals=300, warm_deadline=None):
     if _remaining() < 120.0:
         return {"skipped": f"budget exhausted after warm-up "
                 f"({_remaining():.0f}s left)", "warmed": warmed}
+    # min_fun_evals pins the run to the full budget: the round-5 sampler
+    # improvements made this config stabilize legitimately at ~95 evals,
+    # but the BASELINE_D10 s/iter number is constructed at N=250 steady
+    # state — early termination would make the ratio incomparable.
+    t_run = time.monotonic()
+
+    def _progress(info):
+        if os.environ.get("VBMC_BENCH_PROGRESS", "1") == "1":
+            print(f"#    stress_d10 iter {info['iteration']:3d} "
+                  f"fc={info['func_count']:3d} elbo={info['elbo']:8.3f} "
+                  f"K={info['K']:3d} t={time.monotonic() - t_run:7.1f}s "
+                  f"timer={info.get('timer')}", file=sys.stderr, flush=True)
+        return False
+
     opts = VBMCOptions(display="off", max_fun_evals=max_fun_evals, seed=seed,
-                       min_final_components=50)
+                       min_fun_evals=max_fun_evals,
+                       min_final_components=50, output_fcn=_progress)
     t0 = time.monotonic()
     res = vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
                pub=np.full(D, 4.0), options=opts)
@@ -458,6 +473,9 @@ def main():
             "aborted": bool(time.monotonic() > seed_deadline),
         }
         print(f"# seeds: {detail['seeds']}", file=sys.stderr)
+        for r in sorted(sweep, key=lambda r: -(r["elbo_err"]
+                        if np.isfinite(r["elbo_err"]) else np.inf))[:3]:
+            print(f"# seeds worst: {r}", file=sys.stderr)
         _emit(speedup, detail)
 
 

@@ -41,6 +41,10 @@ class TrainOptions:
     burnin: Optional[int] = None  # default: thin * ns_samples
     n_chains: int = 4
     widths: Optional[np.ndarray] = None   # sampler widths (from hyp cov)
+    # True when the caller's widths carry a rindex inflation beyond the
+    # base multiplier (unstable run): only then do they bypass the
+    # design-derived cap (mode-hopping brackets are ~3x costlier/sweep).
+    widths_escalated: bool = False
     lbfgs_iters: int = 80
     # Hyperprior knobs (cf. gptrain_vbmc / options):
     hpd_frac: float = 0.8
@@ -268,10 +272,12 @@ def _map_optimize(cfg: GPConfig, x0s, prior, X, y, s2, mask, maxiter: int):
     return jax.vmap(run)(x0s)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_keep_max", "warm", "maxiter"))
+@partial(jax.jit, static_argnames=("cfg", "n_keep_max", "warm", "maxiter",
+                                   "sampler"))
 def _map_sample_assemble(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
                          prior, X, y, s2, mask, ns, burn, thin,
-                         n_keep_max: int, warm: bool, maxiter: int):
+                         n_keep_max: int, warm: bool, maxiter: int,
+                         sampler: str = "slice"):
     """Fused GP-hyperparameter pipeline: MAP polish -> best select -> chain
     starts (jittered around MAP, or warm starts from the previous posterior)
     -> parallel slice chains -> interleave -> padded sample buffer. One
@@ -282,12 +288,25 @@ def _map_sample_assemble(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
     in-trace (no eager split on the host)."""
     return map_sample_assemble_core(cfg, key, x0s_map, eps_or_cs, widths,
                                     prior, X, y, s2, mask, ns, burn, thin,
-                                    n_keep_max, warm, maxiter)
+                                    n_keep_max, warm, maxiter, sampler)
+
+
+def hyp_sampler_for(cfg: GPConfig, sb: int) -> str:
+    """Sampler policy (the reference's covsample switch,
+    `get_GPTrainOptions.m:60-100`, redesigned TPU-first): batched
+    complementary-halves ensemble slice when the hyperparameter count is
+    large — its per-sweep sequential depth is ~10 batched evaluations
+    regardless of nhyp, vs ~6 x nhyp for a coordinate sweep (measured at
+    D=10: gp_train 5.5 s/iter coordinate vs the ensemble's batched
+    (W/2,N,N) Cholesky steps). Coordinate slice stays the default at small
+    nhyp where its fine-grained moves mix better per evaluation."""
+    return "ensemble" if (cfg.nhyp > 20 and sb >= 8) else "slice"  # nhyp>20: D>=6 negquad
 
 
 def map_sample_assemble_core(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
                              prior, X, y, s2, mask, ns, burn, thin,
-                             n_keep_max: int, warm: bool, maxiter: int):
+                             n_keep_max: int, warm: bool, maxiter: int,
+                             sampler: str = "slice"):
     """Traceable body of `_map_sample_assemble` (also inlined by the fused
     per-point quick-update program, `quick_update.py`)."""
     key = jax.random.fold_in(key, 2)
@@ -330,19 +349,31 @@ def map_sample_assemble_core(cfg: GPConfig, key, x0s_map, eps_or_cs, widths,
         lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
         return jnp.where(in_bounds, lp, -jnp.inf)
 
-    C = x0s_chain.shape[0]
-    keys = jax.random.split(key, C)
-    n_keep = jnp.minimum(ns // C + (ns % C > 0), n_keep_max)
+    if sampler == "ensemble":
+        # Batched complementary-halves ensemble ('covsample'): eps_or_cs
+        # carries one row per BUFFER slot (W = sb walkers); the final
+        # walker population IS the sample buffer.
+        from vbmc_tpu.samplers.ensemble import ensemble_slice_final
+        flat, lp_flat = ensemble_slice_final(
+            jax.random.fold_in(key, 3), logpdf, x0s_chain,
+            prior.lb, prior.ub, burn + thin)
+        sb = flat.shape[0]
+    else:
+        C = x0s_chain.shape[0]
+        keys = jax.random.split(key, C)
+        n_keep = jnp.minimum(ns // C + (ns % C > 0), n_keep_max)
 
-    def run(k, x0):
-        return slice_sample_chain(k, logpdf, x0, widths, prior.lb, prior.ub,
-                                  n_keep, burn, thin, n_keep_max)
+        def run(k, x0):
+            return slice_sample_chain(k, logpdf, x0, widths, prior.lb,
+                                      prior.ub, n_keep, burn, thin,
+                                      n_keep_max)
 
-    samples, logps = jax.vmap(run)(keys, x0s_chain)  # (C, keep_max, nh)
-    # Interleave chains: sample i of chain c -> position i*C + c.
-    flat = jnp.transpose(samples, (1, 0, 2)).reshape(-1, samples.shape[-1])
-    lp_flat = jnp.transpose(logps, (1, 0)).reshape(-1)
-    sb = flat.shape[0]
+        samples, logps = jax.vmap(run)(keys, x0s_chain)  # (C, keep_max, nh)
+        # Interleave chains: sample i of chain c -> position i*C + c.
+        flat = jnp.transpose(samples, (1, 0, 2)).reshape(
+            -1, samples.shape[-1])
+        lp_flat = jnp.transpose(logps, (1, 0)).reshape(-1)
+        sb = flat.shape[0]
     sel = jnp.arange(sb)[:, None] < ns
     # Log-posterior gate: with scattered starts and short per-chain burns,
     # a chain can strand in a garbage region and its samples would poison
@@ -479,33 +510,41 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
         keep_max = sb // C
 
         if opts.widths is not None and opts.widths.size == nh:
-            # The caller's widths are rindex-INFLATED on unstable runs
-            # (`get_GPTrainOptions.m:42-46`: widthmult = max(GPSampleWidths,
-            # rindex)) — that inflation is the reference's mode-hopping
-            # defense when the GP hyperparameter posterior is multimodal
-            # (e.g. flat targets where the negquad mean center is
-            # ill-identified). Cap only by the finite hyperparameter bound
-            # range, NOT by the design-derived defaults: clipping to the
-            # defaults (as before round 5) neutered the escalation and let
-            # chains sit in one nlZ mode, collapsing the between-sample
-            # ELBO variance.
-            rng_hyp = ub_np - lb_np
-            cap = np.where(np.isfinite(rng_hyp), rng_hyp, np.inf)
-            widths = np.minimum(np.asarray(opts.widths, float),
-                                np.maximum(cap, widths_default))
+            if opts.widths_escalated:
+                # rindex-INFLATED widths on unstable runs
+                # (`get_GPTrainOptions.m:42-46`: widthmult =
+                # max(GPSampleWidths, rindex)) — the reference's
+                # mode-hopping defense when the GP hyperparameter posterior
+                # is multimodal (e.g. flat targets where the negquad mean
+                # center is ill-identified). Cap only by the finite
+                # hyperparameter bound range: clipping to the design
+                # defaults (as before round 5) neutered the escalation and
+                # let chains sit in one nlZ mode, collapsing the
+                # between-sample ELBO variance.
+                rng_hyp = ub_np - lb_np
+                cap = np.where(np.isfinite(rng_hyp), rng_hyp, np.inf)
+                widths = np.minimum(np.asarray(opts.widths, float),
+                                    np.maximum(cap, widths_default))
+            else:
+                # Stable run: tight brackets (wide ones cost ~2-3 extra
+                # shrinkage N^3 evals per coordinate per sweep).
+                widths = np.minimum(np.asarray(opts.widths, float),
+                                    widths_default)
         else:
             widths = widths_default
         burn = opts.burnin if opts.burnin is not None else opts.thin * ns
+        sampler = hyp_sampler_for(cfg, sb)
+        n_rows = sb if sampler == "ensemble" else C
         if (opts.chain_starts is not None and opts.chain_starts.size
                 and opts.chain_starts.shape[-1] == nh):
             # Warm starts from a previous hyperparameter posterior: each
             # chain starts at a distinct prior sample (MAP kept as chain 0).
             cs = np.asarray(opts.chain_starts, float).reshape(-1, nh)
-            reps_c = int(np.ceil(C / cs.shape[0]))
-            eps_or_cs = np.tile(cs, (reps_c, 1))[:C]
+            reps_c = int(np.ceil(n_rows / cs.shape[0]))
+            eps_or_cs = np.tile(cs, (reps_c, 1))[:n_rows]
             warm = True
         else:
-            eps_or_cs = hrng.standard_normal((C, nh))
+            eps_or_cs = hrng.standard_normal((n_rows, nh))
             warm = False
 
         buf_dev, hyp_mask_dev, hyp_map_dev, flat_dev = _map_sample_assemble(
@@ -513,7 +552,8 @@ def train_gp(key, cfg: GPConfig, X: np.ndarray, y: np.ndarray,
             jnp.asarray(eps_or_cs, dtype=dtype),
             jnp.asarray(widths, dtype=dtype), prior, Xp, yp, s2p, mask,
             jnp.asarray(ns), jnp.asarray(max(burn // C, opts.thin)),
-            jnp.asarray(opts.thin), keep_max, warm, map_iters)
+            jnp.asarray(opts.thin), keep_max, warm, map_iters,
+            sampler=sampler)
         gp = _build_gp_jit(cfg, Xp, yp, s2p, mask, buf_dev, hyp_mask_dev)
         # ONE blocking pull for every host-needed result; register the
         # sample buffer's host mirror so downstream reads stay free.

@@ -221,17 +221,26 @@ def _gp_train_options(state: st.OptimState, stats: st.Stats,
 
     # Sampler widths from the running weighted hyp covariance.
     widths = None
+    escalated = False
     if options.gp_sample_widths > 0 and state.hyp_runcov is not None:
         widthmult = max(options.gp_sample_widths,
                         rindex_prev if math.isfinite(rindex_prev) else
                         options.gp_sample_widths)
         widths = np.maximum(np.sqrt(np.diag(state.hyp_runcov)), 1e-3) * widthmult
+        # Escalated = rindex exceeds the base multiplier: only then do the
+        # inflated widths bypass the design-derived cap in train_gp (mode
+        # hopping on unstable runs, `get_GPTrainOptions.m:42-46`); stable
+        # runs keep the tight widths — wide brackets cost ~2-3 extra
+        # shrinkage N^3 evals per coordinate per sweep (measured: D=10
+        # steady-state gp_train 4-5 s/iter vs ~1 s capped).
+        escalated = bool(widthmult > options.gp_sample_widths)
 
     noise_size = options.noise_size
     return TrainOptions(
         ns_samples=ns, ninit=n_init, nopts=max(nopts, 0 if ns > 0 else 1),
         thin=thin, burnin=burnin, n_chains=options.n_gp_chains,
-        widths=widths, lbfgs_iters=options.lbfgs_iters,
+        widths=widths, widths_escalated=escalated,
+        lbfgs_iters=options.lbfgs_iters,
         hpd_frac=options.hpd_frac, tol_gp_noise=options.tol_gp_noise,
         noise_size=noise_size,
         length_prior_mean_mult=options.evalopt("gp_length_prior_mean",

@@ -241,8 +241,9 @@ _FIXED_BY_DESIGN = (
     "search_cmaes_best",         # CMA-ES returns the best-ever point
     "weighted_hyp_cov",          # exponential run-weight hyp covariance
     "tol_cov_weight",
-    "gp_hyp_sampler",            # parallel slice chains always
-    "cov_sample_thresh",         # no covsample fallback (slice suffices)
+    "gp_hyp_sampler",            # automatic: slice chains at small nhyp,
+                                 # batched ensemble ('covsample') at nhyp>20
+    "cov_sample_thresh",         # covsample switch is nhyp-based, not rindex
     "det_ent_tol_opt",           # deterministic path: fixed-length L-BFGS
     "annealed_gp_mean",          # experimental in the reference, off-default
     "constrained_gp_mean",       # experimental in the reference

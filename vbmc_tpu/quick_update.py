@@ -87,10 +87,13 @@ def _quick_full_update(cfg: GPConfig, key, salt, Xp, yp, s2p, mask,
         C = max(min(8, sb), 1)
         while sb % C != 0:
             C -= 1
-        chain_starts = hyp_prev[:C]
+        from vbmc_tpu.gp.fit import hyp_sampler_for
+        sampler = hyp_sampler_for(cfg, sb)
+        chain_starts = hyp_prev if sampler == "ensemble" else hyp_prev[:C]
         buf, hyp_mask, hyp_map, _ = map_sample_assemble_core(
             cfg, k_gp, hyp_prev[:1], chain_starts, widths, prior,
-            Xp, yp, s2p, mask, ns, burn, thin, sb // C, True, map_iters)
+            Xp, yp, s2p, mask, ns, burn, thin, sb // C, True, map_iters,
+            sampler=sampler)
     else:
         buf, hyp_mask = hyp_prev, jnp.arange(hyp_prev.shape[0]) < ns
     gp = build_gp(cfg, Xp, yp, s2p, mask, buf, hyp_mask)
@@ -289,12 +292,16 @@ class QuickUpdater:
         widths_default = np.maximum(pub_np - plb_np, 1e-3)
         if topts.widths is not None and \
                 np.asarray(topts.widths).size == cfg.nhyp:
-            # Keep the rindex inflation (see gp/fit.py): cap by the finite
-            # bound range, not the plausible-box defaults.
-            rng_hyp = ub_np - lb_np
-            cap = np.where(np.isfinite(rng_hyp), rng_hyp, np.inf)
-            widths = np.minimum(np.asarray(topts.widths, float),
-                                np.maximum(cap, widths_default))
+            if topts.widths_escalated:
+                # Keep the rindex inflation (see gp/fit.py): cap by the
+                # finite bound range, not the plausible-box defaults.
+                rng_hyp = ub_np - lb_np
+                cap = np.where(np.isfinite(rng_hyp), rng_hyp, np.inf)
+                widths = np.minimum(np.asarray(topts.widths, float),
+                                    np.maximum(cap, widths_default))
+            else:
+                widths = np.minimum(np.asarray(topts.widths, float),
+                                    widths_default)
         else:
             widths = widths_default
         # Short per-chain burn-in (quick-retrain schedule, burnin=thin*3
