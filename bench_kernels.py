@@ -299,6 +299,26 @@ def main():
                     lambda i: sweep(jax.random.PRNGKey(1),
                                     prior_mu + i * 1e-12), flops_s))
 
+    # 4b. one ensemble sweep (the 'covsample' kernel, nhyp>20 policy):
+    # 2 half-moves x ~4 batched shrink evals, each a (S/2, N, N) Cholesky.
+    from vbmc_tpu.samplers.ensemble import ensemble_slice_final
+    walkers0 = jnp.asarray(hyps, dtype=dtype)
+
+    @jax.jit
+    def esweep(w0):
+        def logp(hh):
+            return -gcore.neg_log_marginal_likelihood(
+                cfg, hh, gp.X, gp.y, gp.s2, gp.mask)
+        lo = walkers0.min(0) - 10.0
+        hi = walkers0.max(0) + 10.0
+        xs, lps = ensemble_slice_final(jax.random.PRNGKey(3), logp, w0,
+                                       lo, hi, 1)
+        return xs
+
+    flops_en = 2 * 4 * (S // 2) * (N ** 3 / 3)
+    results.append(("ensemble_sweep_nlz",
+                    lambda i: esweep(walkers0 + i * 1e-12), flops_en))
+
     for name, fn, flops in results:
         print(f"# timing {name} ...", file=sys.stderr, flush=True)
         t_pipe, reps = _time_pipelined(fn)

@@ -17,8 +17,12 @@ def test_d10_k50_stress():
         return float(-0.5 * np.sum((x / sd) ** 2)
                      - 0.5 * D * np.log(2 * np.pi) - np.sum(np.log(sd)))
 
+    # min_fun_evals pins the full budget: the round-5 ensemble hyp sampler
+    # made this config stabilize legitimately at ~75 evals with accuracy
+    # intact, but the point of this test is the STRESS SCALE (N>250, K
+    # growth), so the run must not terminate early.
     opts = VBMCOptions(display="off", max_fun_evals=250, seed=3,
-                       min_final_components=50)
+                       min_fun_evals=250, min_final_components=50)
     res = vbmc(mvn10, x0=np.full(D, 0.5), plb=np.full(D, -4.0),
                pub=np.full(D, 4.0), options=opts)
 
